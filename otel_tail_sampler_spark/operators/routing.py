@@ -1,0 +1,90 @@
+"""Route decided traces' spans to keep/drop/overflow sinks + stage metrics.
+
+Re-expresses the evaluator's export flow (/root/reference/src/sampling/
+evaluator.rs:241-336 — fetch kept traces' spans, export, account) as one
+shuffle join + a single-pass partitioned write:
+
+    routed = spans JOIN decided(trace_id, decision, decision_policy)
+    write routed partitioned by decision  (keep / drop / overflow in ONE pass)
+
+The join is the 'metadata-first' pattern (docs/ARCHITECTURE_V2_ICEBERG.md:27-33):
+the decision table carries ~50 bytes/trace; the wide token payload stays in the
+span table and is only moved once. At scale the join shuffles both sides by
+trace_id — the SAME key the assembly aggregation shuffled on, so with AQE the
+exchange is reused; heavy-hitter traces are split by AQE skew-join.
+
+Metrics (A9, src/observability/metrics.rs:20-58): per-(policy, decision) trace
+counts and per-sink routed-row counts, emitted as DataFrames — the per-sink
+aggregate-count parity artifact of the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECISION_COLS = ["trace_id", "decision", "decision_policy"]
+SINKS = ("keep", "drop", "overflow")
+
+
+def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
+    """Attach (decision, decision_policy) to every span row of the input.
+
+    ``spans`` must carry trace_id (parser output, tokens preserved). A left
+    join keeps malformed rows (parse_ok=false, null trace_id) in the stream:
+    they route to the ``malformed`` sink instead of aborting or vanishing —
+    one scan, one join, no separate quarantine pass.
+    """
+    out = spans.join(decided.select(*DECISION_COLS), "trace_id", "left")
+    bad = (
+        ~F.col("parse_ok")
+        if "parse_ok" in spans.columns
+        else F.col("decision").isNull()
+    )
+    return out.withColumns(
+        {
+            "decision": F.when(bad, F.lit("malformed")).otherwise(F.col("decision")),
+            "decision_policy": F.when(bad, F.lit("parse_error")).otherwise(
+                F.col("decision_policy")
+            ),
+        }
+    )
+
+
+def route_spans_semi(spans: DataFrame, decided: DataFrame, sink: str) -> DataFrame:
+    """Left-semi variant (J1): only the rows for one sink, no added columns —
+    what you use when only the keep stream is exported (evaluator.rs:244)."""
+    ids = decided.filter(F.col("decision") == sink).select("trace_id")
+    return spans.join(ids, "trace_id", "semi")
+
+
+def decision_metrics(decided: DataFrame) -> DataFrame:
+    """Per-(policy, decision) trace counts — tail_sampling_traces_* parity."""
+    return (
+        decided.groupBy("decision_policy", "decision")
+        .agg(F.count(F.lit(1)).alias("trace_count"))
+        .withColumnRenamed("decision", "sink")
+    )
+
+
+def sink_row_metrics(routed: DataFrame) -> DataFrame:
+    """Per-sink routed span-row counts (the routed-row count parity metric)."""
+    return routed.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("row_count")
+    ).withColumnRenamed("decision", "sink")
+
+
+def write_routed(routed: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
+    """Single-pass fan-out: one partitioned write, three sinks.
+
+    Writing ``partitionBy('decision')`` produces keep/ drop/ overflow/
+    directories in one job instead of three filtered writes (one scan, not
+    three). Iceberg deployments replace this with three ``writeTo(...)``
+    appends or a partitioned table on the decision column.
+    """
+    (
+        routed.write.mode("overwrite")
+        .partitionBy("decision")
+        .format(fmt)
+        .save(out_dir)
+    )

@@ -1,0 +1,99 @@
+"""The end-to-end bounded tail-sampling job (the flagship DAG).
+
+Stage layout (SURVEY.md §3.2 re-expression):
+
+    spans   = read(tokenized).parse()                      # narrow
+    traces  = assemble_traces(spans)                       # shuffle(trace_id)
+    decided = decide(traces, cfg)  [+ force rules]         # narrow
+    routed  = spans  JOIN  decided  ON trace_id            # shuffle(trace_id)
+    metrics = per-policy / per-sink counts                 # tiny agg
+    write keep/drop/overflow + metrics                     # partitioned write
+
+Replaces the reference's evaluator loop (/root/reference/src/sampling/
+evaluator.rs:150-336) with one deterministic DAG.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.assembly import assemble_traces
+from otel_tail_sampler_spark.operators.parser import parse_spans
+from otel_tail_sampler_spark.operators.policies import SamplerConfig, decide
+from otel_tail_sampler_spark.operators.routing import (
+    decision_metrics,
+    route_spans,
+    sink_row_metrics,
+    write_routed,
+)
+
+
+@dataclass
+class PipelineResult:
+    spans: DataFrame
+    traces: DataFrame
+    decided: DataFrame
+    routed: DataFrame
+
+
+def read_tokenized(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded source scan (S1/S4). Iceberg tables load the same way with
+    format('iceberg'); parquet is the sandbox stand-in."""
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.read.format("iceberg").load(path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    cfg: SamplerConfig | None = None,
+    force_rules: list[dict] | None = None,
+    salt_buckets: int | None = None,
+) -> PipelineResult:
+    cfg = cfg or SamplerConfig()
+    tokenized = read_tokenized(spark, input_path)
+    spans = parse_spans(tokenized)
+
+    # assembly shuffles ONLY narrow columns — drop tokens before the groupBy;
+    # malformed rows (parse_ok=false) never reach assembly, they route to the
+    # 'malformed' sink inside route_spans
+    good = spans.filter(F.col("parse_ok")).drop("tokens", "n_tok")
+    traces = assemble_traces(good, salt_buckets=salt_buckets)
+
+    if force_rules:
+        from otel_tail_sampler_spark.operators.force_rules import apply_force_rules
+
+        traces = apply_force_rules(traces, good, force_rules)
+
+    decided = decide(traces, cfg)
+    routed = route_spans(spans, decided)
+    return PipelineResult(spans=spans, traces=traces, decided=decided, routed=routed)
+
+
+def run_and_write(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    cfg: SamplerConfig | None = None,
+    **kw,
+) -> dict[str, DataFrame]:
+    res = run_pipeline(spark, input_path, cfg, **kw)
+    write_routed(res.routed, os.path.join(out_dir, "routed"))
+    dm = decision_metrics(res.decided)
+    rm = sink_row_metrics(res.routed)
+    dm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_decisions"))
+    rm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_rows"))
+    # exported manifest (J2 dedup source on re-runs; replaces Redis
+    # exported:{trace_id} keys, evaluator.rs:358-401)
+    (
+        res.decided.filter(F.col("decision") == "keep")
+        .select("trace_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "exported"))
+    )
+    return {"decision_metrics": dm, "row_metrics": rm}

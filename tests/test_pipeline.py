@@ -1,0 +1,104 @@
+"""End-to-end pipeline parity vs the pandas oracle.
+
+Asserts the north-rule artifacts: per-policy per-sink decision counts, per-sink
+routed-row counts, and EXACT routed-row token-array equality (the per-row
+invariant of BASELINE.json input_hint).
+"""
+
+import pandas as pd
+import pytest
+
+from otel_tail_sampler_spark.operators.policies import (
+    CardinalityPolicy,
+    ErrorPolicy,
+    LatencyPolicy,
+    SamplerConfig,
+)
+from otel_tail_sampler_spark.plans.pipeline import run_pipeline
+
+from tests import oracle_pandas as O
+
+CFG = SamplerConfig(
+    error=ErrorPolicy(sample_rate=0.8),
+    latency=LatencyPolicy(threshold_ms=4000, sample_rate=1.0),
+    cardinality=CardinalityPolicy(max_span_count=100),
+)
+
+
+@pytest.fixture(scope="module")
+def result(spark, small_dataset):
+    return run_pipeline(spark, small_dataset["tokenized"], CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle(small_dataset):
+    spans = pd.read_parquet(small_dataset["oracle"])
+    traces = O.assemble(spans)
+    decided = O.decide(
+        traces,
+        error_rate=0.8,
+        latency_threshold_ms=4000,
+        latency_rate=1.0,
+        max_span_count=100,
+    )
+    return spans, decided
+
+
+def test_decision_counts_match(result, oracle):
+    _, decided_o = oracle
+    got = {
+        (r["decision_policy"], r["decision"]): r["n"]
+        for r in result.decided.groupBy("decision_policy", "decision")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = (
+        decided_o.groupby(["decision_policy", "decision"]).size().to_dict()
+    )
+    assert got == want
+
+
+def test_sink_row_counts_match(result, oracle):
+    spans_o, decided_o = oracle
+    got = {
+        r["decision"]: r["count"]
+        for r in result.routed.groupBy("decision").count().collect()
+    }
+    want = O.sink_counts(spans_o, decided_o)
+    assert got == want
+
+
+def test_routed_token_equality(result, spark, small_dataset, oracle):
+    """Every routed keep-row's token array must equal the source row's, and
+    the keep set must be exactly the oracle's keep set (doc_id-level)."""
+    spans_o, decided_o = oracle
+    keep_docs_oracle = set(
+        spans_o.merge(
+            decided_o.loc[decided_o["decision"] == "keep", ["trace_id"]],
+            on="trace_id",
+        )["doc_id"]
+    )
+    routed_keep = (
+        result.routed.filter("decision = 'keep'")
+        .select("doc_id", "tokens")
+        .toPandas()
+    )
+    assert set(routed_keep["doc_id"]) == keep_docs_oracle
+
+    src = pd.read_parquet(
+        small_dataset["tokenized"], columns=["doc_id", "tokens"]
+    ).set_index("doc_id")
+    merged = routed_keep.set_index("doc_id").join(src, rsuffix="_src")
+    assert all(
+        list(a) == list(b) for a, b in zip(merged["tokens"], merged["tokens_src"])
+    )
+
+
+def test_disjoint_and_complete_routing(result):
+    total = result.spans.count()
+    per_sink = dict(
+        (r["decision"], r["count"])
+        for r in result.routed.groupBy("decision").count().collect()
+    )
+    assert sum(per_sink.values()) == total
