@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (ANN for training pipelines).
+
+Two tiers:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, score JVM-side (zip_with/aggregate — no Python), rank
+  with a per-query window. Correctness baseline; linear scans of the corpus
+  are actually fine at 100 TB IF the query set is small and broadcast.
+* ``hyperplane_buckets`` / ``lsh_topk`` — the scale path: sign-random-
+  projection LSH. Deterministic hyperplanes (seeded numpy) ship as literals;
+  corpus and queries hash to sign-bit buckets map-side; candidates = bucket
+  collisions, then exact re-rank. Shuffle is bucket-sized, never all-pairs.
+
+IVF (k-means coarse quantizer) would be the third tier; hyperplane-LSH was
+chosen because it needs no training pass and stays fully deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.dedup import cosine_sim
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query. Queries are broadcast; ties broken by
+    corpus id for determinism."""
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv"))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_sim(F.col("_cv"), F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (public scheme: sign random
+    projection / SimHash for cosine, Charikar 2002)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket key: concatenated sign bits of <vec, plane_i>."""
+    bits = []
+    for p in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: (x * y).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def with_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
+                out_col: str = "bucket") -> DataFrame:
+    return df.withColumn(out_col, _sign_bits(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within hyperplane buckets.
+
+    Recall < 1.0 by construction (single probe); raise recall with fewer
+    planes (bigger buckets) or multiple plane sets unioned. The join is on
+    the bucket key — corpus never self-joins, queries broadcast."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_bucket(
+        corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv")),
+        "_cv",
+        planes,
+    )
+    q = with_bucket(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")),
+        "_qv",
+        planes,
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", cosine_sim(F.col("_cv"), F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. All pure column
+expressions — JVM-side, codegen-friendly, linear at any scale, and
+DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.dedup import words
+
+# tiny public stopword lists (top function words per language)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words(text))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: count word pieces + digit runs + punctuation as
+    separate tokens (regexp split). A cheap stand-in for a real tokenizer that
+    preserves the ~tokens/word ratio shape."""
+    pieces = F.split(text, r"(?=[^\w\s])|(?<=[^\w\s])|\s+")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    """fraction of words that are in ``lang``'s stopword list."""
+    w = words(F.lower(text))
+    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS[lang])))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword ratios; 'und' (undetermined) when all
+    zero. N-gram-free heuristic — deterministic and oracle-expressible."""
+    ratios = [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[r for _, r in ratios])
+    out = F.lit("und")
+    for lang, r in reversed(ratios):  # earlier langs win ties
+        out = F.when((best > 0) & (r == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: length, word stats, punct/digit/stopword
+    ratios — the standard pre-training corpus filters."""
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = token_count_ws(t)
+    return docs.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_words": n_words,
+            "mean_word_len": (
+                F.aggregate(
+                    w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                )
+                / F.greatest(n_words, F.lit(1))
+            ).cast("double"),
+            "punct_ratio": (
+                F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) /
+                F.greatest(n_chars, F.lit(1))
+            ).cast("double"),
+            "digit_ratio": (
+                F.length(F.regexp_replace(t, r"[^0-9]", "")) /
+                F.greatest(n_chars, F.lit(1))
+            ).cast("double"),
+            "stopword_ratio_en": stopword_ratio(t, "en").cast("double"),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] score: reasonable length + low punct/digit noise +
+    natural-language stopword presence (Gopher/C4-style heuristics)."""
+    feats = quality_features(docs, text_col)
+    length_ok = (
+        F.when(F.col("n_words") < 5, 0.0)
+        .when(F.col("n_words") > 5000, 0.3)
+        .otherwise(1.0)
+    )
+    word_len_ok = F.when(
+        (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 1.0
+    ).otherwise(0.0)
+    noise_ok = 1.0 - F.least(
+        F.lit(1.0), (F.col("punct_ratio") + F.col("digit_ratio")) * 4
+    )
+    stop_ok = F.least(F.lit(1.0), F.col("stopword_ratio_en") * 5)
+    return feats.withColumn(
+        "quality_score",
+        ((length_ok + word_len_ok + noise_ok + stop_ok) / 4).cast("double"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: content md5 (exact identity) + a rolling-hash
+    analog (min/max over word-window md5s — order-sensitive, local-change
+    tolerant)."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    w = F.split(norm, " ")
+    win = F.when(
+        F.size(w) >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, 4))),
+        ),
+    ).otherwise(F.array(F.md5(norm)))
+    return docs.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_window_min": F.array_min(win),
+            "fp_window_max": F.array_max(win),
+        }
+    )

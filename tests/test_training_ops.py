@@ -1,0 +1,213 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators import dedup as D
+from otel_tail_sampler_spark.operators import similarity as S
+from otel_tail_sampler_spark.operators import text as T
+from otel_tail_sampler_spark.operators import multimodal as M
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_with_planted_dups(spark, docs):
+    base = docs.limit(10)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1000)
+    both = base.unionByName(dup)
+    kept = D.exact_dedup(both)
+    assert kept.count() == 10
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1000  # min-id wins
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    pdf = docs.limit(20).toPandas()
+    near = pdf.iloc[:3].copy()
+    near["doc_id"] += 5000
+    # perturb one word -> high jaccard, not identical
+    near["text"] = near["text"].str.replace(" the ", " zzz ", n=1, regex=False)
+    both = spark.createDataFrame(pd.concat([pdf, near]))
+    pairs = D.minhash_lsh_pairs(both, num_hashes=12, bands=6).toPandas()
+    planted = {(i, i + 5000) for i in near["doc_id"] - 5000}
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert planted <= got
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # identical -> jaccard 1.0
+        (3, "a b c d e f g zzz"),        # overlaps
+        (4, "q w e r t y u i"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (3, 4) not in pairs
+    assert 0 < pairs[(1, 3)] < 1
+
+
+def test_simhash_identical_and_stability(spark, docs):
+    fp1 = {r["doc_id"]: r["simhash"] for r in D.simhash(docs.limit(30)).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in D.simhash(docs.limit(30)).collect()}
+    assert fp1 == fp2
+    assert all(0 <= v < 2**16 for v in fp1.values())
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 9000)
+    pairs = D.simhash_dup_pairs(docs.limit(5).unionByName(dup)).toPandas()
+    assert {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])} >= {
+        (i, i + 9000) for i in range(5)
+    }
+
+
+def test_embedding_dup_pairs(spark, emb):
+    base = emb.limit(10)
+    dup = base.withColumn("vec_id", F.col("vec_id") + 700)
+    pairs = D.embedding_dup_pairs(base.unionByName(dup), threshold=0.999).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(i_, i_ + 700) for i_ in pairs["id_a"].unique() if i_ < 700} <= got
+    assert len(got) >= 10
+    assert (pairs["cosine"] >= 0.999).all()
+
+
+# --- similarity --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb, queries):
+    got = S.cosine_topk(emb, queries, k=5).toPandas()
+    E = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(E["embedding"].to_numpy())
+    ids = E["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in [0, 1, 2]:
+        qv = mat_n[ids == qid][0]
+        sims = mat_n @ qv
+        order = np.lexsort((ids, -sims))[:5]
+        want = list(ids[order])
+        got_q = got[got["query_id"] == qid].sort_values("rank")["corpus_id"].tolist()
+        assert got_q == want
+        # self is always rank 1 with cosine ~1
+        assert got_q[0] == qid
+
+
+def test_lsh_topk_recall(spark, emb, queries):
+    exact = S.cosine_topk(emb, queries, k=5).toPandas()
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=4, dim=64).toPandas()
+    # bucket always contains the query itself -> rank-1 self-hit guaranteed
+    for qid in [0, 1, 2]:
+        a = approx[approx["query_id"] == qid]
+        assert len(a) >= 1 and a.iloc[0]["corpus_id"] == qid
+    # single-probe recall is partial but nonzero beyond self
+    inter = set(map(tuple, approx[["query_id", "corpus_id"]].values)) & set(
+        map(tuple, exact[["query_id", "corpus_id"]].values)
+    )
+    assert len(inter) >= 3
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world  foo"), (2, ""), (3, "a,b c!")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("ws"),
+        T.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).collect()
+    by = {r["doc_id"]: (r["ws"], r["bpe"]) for r in out}
+    assert by[1] == (3, 3)
+    assert by[2][0] == 0
+    assert by[3] == (2, 5)  # a , b c !
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "der hund ist ein tier und das ist gut"),
+        (3, "le chat est un animal et la maison est grande"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", T.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_quality_score_bounds_and_ordering(spark, docs):
+    out = T.quality_score(docs).select("doc_id", "quality_score").toPandas()
+    assert out["quality_score"].between(0, 1).all()
+    junk = spark.createDataFrame(
+        [(1, "!!! ??? 123 456 789 ... ;;; @@@"), (2, "the cat is on the mat and it is a good day for a walk")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality_score"] for r in T.quality_score(junk).collect()}
+    assert q[2] > q[1]
+
+
+def test_fingerprint_properties(spark):
+    rows = [
+        (1, "one two three four five six"),
+        (2, "one  two three four five six"),   # whitespace-normalized equal
+        (3, "one two three four five seven"),  # local change
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.fingerprint(df).collect()}
+    assert out[1]["fp_md5"] == out[2]["fp_md5"]
+    assert out[1]["fp_md5"] != out[3]["fp_md5"]
+    # rolling windows share the min OR max anchor despite the local change
+    assert (
+        out[1]["fp_window_min"] == out[3]["fp_window_min"]
+        or out[1]["fp_window_max"] == out[3]["fp_window_max"]
+    )
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    media = M.synthetic_media(spark, n=24)
+    feats = M.extract_features(media, dim=8).toPandas()
+    assert len(feats) == 24
+    assert (feats["features"].map(len) == 8).all()
+    # deterministic across runs
+    feats2 = M.extract_features(media, dim=8).toPandas()
+    a = feats.sort_values("media_id")["payload_crc"].tolist()
+    b = feats2.sort_values("media_id")["payload_crc"].tolist()
+    assert a == b
+
+    resized = M.resize_images(media, 32, 24).toPandas()
+    assert (resized["kind"] == "image").all() and len(resized) == 8
+
+    frames = M.sample_frames(media, every_n=8).toPandas()
+    assert (frames["frame_idx"] % 8 == 0).all()
+    assert frames["media_id"].str.startswith("m-").all()
+
+    with pytest.raises(NotImplementedError):
+        M.extract_features(media, real=True)
