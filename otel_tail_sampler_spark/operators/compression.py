@@ -44,6 +44,10 @@ class CompressionConfig:
     max_span_duration_ms: int = 60_000  # spans longer than this never compress
     # (pattern, group_name): substring OR regex match -> named group (F6)
     sql_patterns: tuple = ()
+    # True = reference semantics (compress within a trace,
+    # span_compression.rs:130-142); False = cross-trace grouping (corpus-level
+    # dedup of identical normalized statements)
+    per_trace: bool = True
 
 
 def normalize_statement(col: Column) -> Column:
@@ -82,6 +86,7 @@ def operation_type(cfg: CompressionConfig) -> Column:
 
 
 GROUP_KEY = ["trace_id", "service_name", "op_type", "norm_statement", "parent_span_id"]
+GROUP_KEY_CROSS = ["service_name", "op_type", "norm_statement"]
 
 
 def with_group_key(spans: DataFrame, cfg: CompressionConfig) -> DataFrame:
@@ -110,13 +115,14 @@ def compress_spans(spans: DataFrame, cfg: CompressionConfig | None = None) -> di
     duration, first/last timestamp, original_span_ids, compressed_span_id.
     """
     cfg = cfg or CompressionConfig()
+    key = GROUP_KEY if cfg.per_trace else GROUP_KEY_CROSS
     keyed = with_group_key(spans, cfg)
 
     compressible = keyed.filter(
         F.col("duration_ms") <= F.lit(cfg.max_span_duration_ms)
     )
     groups = (
-        compressible.groupBy(*GROUP_KEY)
+        compressible.groupBy(*key)
         .agg(
             F.count(F.lit(1)).alias("span_count"),
             F.sum((F.col("status_code") == 2).cast("int")).alias("error_count"),
@@ -141,7 +147,7 @@ def compress_spans(spans: DataFrame, cfg: CompressionConfig | None = None) -> di
             F.upper(
                 F.format_string(
                     "%016X",
-                    F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in GROUP_KEY]),
+                    F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key]),
                 )
             ),
         )
@@ -151,12 +157,12 @@ def compress_spans(spans: DataFrame, cfg: CompressionConfig | None = None) -> di
     # sides) — spans of non-surviving groups, plus never-compressible long
     # spans, pass through unchanged
     surviving_keys = groups.select(
-        *[F.col(c).alias(f"_k_{c}") for c in GROUP_KEY]
+        *[F.col(c).alias(f"_k_{c}") for c in key]
     )
     passthrough = keyed.join(
         surviving_keys,
         on=[
-            F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in GROUP_KEY
+            F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key
         ],  # null-safe: parent_span_id is null for roots
         how="left_anti",
     ).drop("op_type", "norm_statement")

@@ -85,13 +85,15 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     min over lexicographic md5 hex == a valid minwise hash family member per
     seed; identical in DuckDB: list_min([md5(s || '|i') for s in shingles]).
     """
+    # NB: the lambda must be single-arg — F.transform passes (element, index)
+    # to two-arg lambdas, which would silently turn the seed into the index
+    def _hasher(seed: int):
+        tag = F.lit(f"|{seed}")
+        return lambda s: F.md5(F.concat(s, tag))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"|{i}")))
-                )
-            )
+            F.array_min(F.transform(shingles, _hasher(i)))
             for i in range(num_hashes)
         ]
     )
@@ -243,16 +245,22 @@ def ngram_jaccard_pairs(
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine of two float arrays, JVM-side (zip_with + aggregate, no UDF)."""
+    # cast BEFORE multiplying: float32*float32-then-cast differs from
+    # double*double in the last bits, which breaks engine-parity checks
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
     nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
     return dot / (na * nb)
 

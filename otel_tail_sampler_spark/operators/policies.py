@@ -288,9 +288,11 @@ def apply_rate_limit(decided: DataFrame, key: str, limit: int) -> DataFrame:
     the rank never materializes per-span data, so it holds at scale. For very
     hot keys, AQE splits the skewed partitions of this exchange.
     """
-    # partition by (key, decision) so the rank counts kept traces only
+    # partition by (key, decision) so the rank counts kept traces only;
+    # md5-hex ordering (not xxhash64) keeps the selection engine-portable
     w = Window.partitionBy(key, "decision").orderBy(
-        F.xxhash64("trace_id", F.lit("rate_limit")), F.col("trace_id")
+        F.md5(F.concat_ws("|", F.col("trace_id"), F.lit("rate_limit"))),
+        F.col("trace_id"),
     )
     rn = F.when(
         F.col("decision") == KEEP, F.row_number().over(w)
