@@ -458,17 +458,12 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (first 8 hashes, stringified)."""
-    from otel_tail_sampler_spark.operators.dedup import (
-        minhash_signature,
-        word_shingles,
-    )
+    from otel_tail_sampler_spark.operators.dedup import minhash_signatures_agg
 
-    docs = _docs(spark, sf_dir)
-    return docs.select(
+    sig = minhash_signatures_agg(_docs(spark, sf_dir), num_hashes=8)
+    return sig.select(
         "doc_id",
-        F.array_join(
-            minhash_signature(word_shingles(F.col("text"), 3), 8), ","
-        ).alias("minhash_csv"),
+        F.concat_ws(",", *[F.col(f"h{i}") for i in range(8)]).alias("minhash_csv"),
     )
 
 

@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: spans/sec of the full decision pipeline (parse -> assemble ->
+decide -> route -> per-sink counts) on the generated tokenized table at the
+matching scale, including the heavy-hitter skew variant (1% of traces with
+2000 spans, scripts/load_simulation.rs:52-55 shape). Secondary queries cover
+the shuffle-heavy relational and training-data operators.
+
+The N-vs-4N scaling protocol (BASELINE.md) lives in scripts/bench_scaling.py
+(separate JVMs per parallelism level); this file is the per-round quick bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _pipeline_spans_per_sec(spark, tokenized_path: str, salt_buckets=None) -> tuple[float, int]:
+    import __spark_entry__ as E
+    from otel_tail_sampler_spark.plans.pipeline import run_pipeline
+    from otel_tail_sampler_spark.operators.routing import decision_metrics
+
+    spark.catalog.clearCache()  # a prior run's persisted `decided` would
+    # otherwise be plan-matched and reused, hiding parse+assembly cost
+    t0 = time.time()
+    res = run_pipeline(spark, tokenized_path, E.ENTRY_CFG, salt_buckets=salt_buckets)
+    counts = res.routed.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+    decision_metrics(res.decisions).collect()
+    elapsed = time.time() - t0
+    n_spans = sum(r["n"] for r in counts)
+    return elapsed, n_spans
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from otel_tail_sampler_spark.session import build_session
+    from otel_tail_sampler_spark.sources.generator import ensure_dataset, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    spark = build_session(app_name="bench", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus) * 2 if cpus.isdigit() else 64)
+
+    import __spark_entry__ as E
+
+    queries: dict[str, float] = {}
+
+    # warm-up: spawn every Python worker (a worker's first task pays numpy/
+    # pyarrow import + page-fault cost) and JIT the codegen paths once
+    warm = ensure_dataset("0.001")
+    wdf = spark.read.parquet(warm["tokenized"]).repartition(
+        int(cpus) if cpus.isdigit() else 32
+    )
+    from otel_tail_sampler_spark.operators.parser import parse_spans
+    parse_spans(wdf, keep_tokens=False).count()
+    _pipeline_spans_per_sec(spark, warm["tokenized"])
+
+    # headline: uniform pipeline at matching sf — two runs, report the warm
+    # one (the first big action pays one-time JVM heap-growth/page-fault cost
+    # in this sandbox; steady-state throughput is the metric)
+    paths = ensure_dataset(sf)
+    t_cold, n_spans = _pipeline_spans_per_sec(spark, paths["tokenized"])
+    t, _ = _pipeline_spans_per_sec(spark, paths["tokenized"])
+    t = min(t, t_cold)
+    queries["pipeline_uniform"] = round(t, 3)
+    uniform_rate = n_spans / t
+
+    # headline: skewed pipeline (heavy-hitter traces) at bench scale
+    skew_paths = ensure_dataset("bench0.1")
+    t_sk_cold, n_skew = _pipeline_spans_per_sec(spark, skew_paths["tokenized"])
+    t_skew, _ = _pipeline_spans_per_sec(spark, skew_paths["tokenized"])
+    t_skew = min(t_skew, t_sk_cold)
+    queries["pipeline_skewed"] = round(t_skew, 3)
+    skew_rate = n_skew / t_skew
+
+    # secondary operator benchmarks on the driver's testdata at sf_dir
+    secondary = [
+        "tpch_q1_pricing",
+        "events_session_agg",
+        "orders_enrich_join",
+        "lineitem_semi_join",
+        "span_service_stats",
+        "minhash_lsh_pairs",
+        "simhash",
+        "embedding_topk",
+        "doc_quality",
+    ]
+    qs = E.queries()
+    for name in secondary:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "spans/sec decision+route throughput (uniform sf, single JVM)",
+        "value": round(uniform_rate, 1),
+        "unit": "spans/sec",
+        "queries": queries,
+        "sf": sf,
+        "detail": {
+            "uniform_spans": n_spans,
+            "uniform_sec": round(t, 3),
+            "skewed_spans": n_skew,
+            "skewed_sec": round(t_skew, 3),
+            "skewed_spans_per_sec": round(skew_rate, 1),
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

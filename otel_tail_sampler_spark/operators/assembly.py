@@ -64,12 +64,33 @@ def _first_span_key() -> Column:
     )
 
 
+def _group_keys(spans: DataFrame) -> list[str]:
+    """Prefer the two-int64 trace key (16 fixed bytes, no string hashing in
+    the shuffle) when the parser provided it; fall back to the hex string."""
+    if "trace_k1" in spans.columns:
+        return ["trace_k1", "trace_k2"]
+    return ["trace_id"]
+
+
+def _with_trace_id(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the canonical hex trace_id per TRACE (post-agg, O(traces) not
+    O(spans)) when grouping ran on the int64 key pair."""
+    if keys == ["trace_id"]:
+        return df
+    from otel_tail_sampler_spark.operators.parser import hex_from_keys
+
+    return df.withColumn(
+        "trace_id", hex_from_keys(F.col("trace_k1"), F.col("trace_k2"))
+    )
+
+
 def assemble_traces(spans: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """spans -> TraceSummary (one row per trace_id). A1 of SURVEY.md §2.4."""
+    keys = _group_keys(spans)
     if salt_buckets and salt_buckets > 1:
-        return _assemble_salted(spans, salt_buckets)
-    return (
-        spans.groupBy("trace_id")
+        return _assemble_salted(spans, salt_buckets, keys)
+    agg = (
+        spans.groupBy(*keys)
         .agg(
             F.min(_first_span_key()).alias("_first"),
             F.count(F.lit(1)).alias("span_count"),
@@ -81,22 +102,23 @@ def assemble_traces(spans: DataFrame, salt_buckets: int | None = None) -> DataFr
             F.array_sort(F.collect_set("operation_name")).alias("operations"),
             F.min(_root_key()).alias("_root"),
         )
-        .select(
-            "trace_id",
-            F.col("_first.svc").alias("service_name"),
-            "span_count",
-            "has_error",
-            "error_count",
-            "max_duration_ms",
-            "min_timestamp_ms",
-            "max_timestamp_ms",
-            "operations",
-            F.col("_root.sid").alias("root_span_id"),
-        )
+    )
+    return _with_trace_id(agg, keys).select(
+        *keys if keys != ["trace_id"] else [],
+        "trace_id",
+        F.col("_first.svc").alias("service_name"),
+        "span_count",
+        "has_error",
+        "error_count",
+        "max_duration_ms",
+        "min_timestamp_ms",
+        "max_timestamp_ms",
+        "operations",
+        F.col("_root.sid").alias("root_span_id"),
     )
 
 
-def _assemble_salted(spans: DataFrame, salt_buckets: int) -> DataFrame:
+def _assemble_salted(spans: DataFrame, salt_buckets: int, keys: list[str] | None = None) -> DataFrame:
     """Explicit two-phase salted aggregation for heavy-hitter trace_ids.
 
     Phase 1 groups by (trace_id, salt) — a 20k-span trace is split across
@@ -105,10 +127,11 @@ def _assemble_salted(spans: DataFrame, salt_buckets: int) -> DataFrame:
     flatten+array_distinct; root/first elections merge via min of the partial
     struct minima.
     """
+    keys = keys or _group_keys(spans)
     salted = spans.withColumn(
         "_salt", F.pmod(F.xxhash64("span_id"), F.lit(salt_buckets))
     )
-    partial = salted.groupBy("trace_id", "_salt").agg(
+    partial = salted.groupBy(*keys, "_salt").agg(
         F.min(_first_span_key()).alias("_first"),
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(_err()).alias("_errs"),
@@ -118,30 +141,28 @@ def _assemble_salted(spans: DataFrame, salt_buckets: int) -> DataFrame:
         F.collect_set("operation_name").alias("_ops"),
         F.min(_root_key()).alias("_root"),
     )
-    return (
-        partial.groupBy("trace_id")
-        .agg(
-            F.min("_first").alias("_first"),
-            F.sum("_cnt").alias("span_count"),
-            F.sum("_errs").alias("error_count"),
-            F.max("_maxd").alias("max_duration_ms"),
-            F.min("_mints").alias("min_timestamp_ms"),
-            F.max("_maxts").alias("max_timestamp_ms"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("_ops")))
-            ).alias("operations"),
-            F.min("_root").alias("_root"),
-        )
-        .select(
-            "trace_id",
-            F.col("_first.svc").alias("service_name"),
-            "span_count",
-            (F.col("error_count") > 0).alias("has_error"),
-            "error_count",
-            "max_duration_ms",
-            "min_timestamp_ms",
-            "max_timestamp_ms",
-            "operations",
-            F.col("_root.sid").alias("root_span_id"),
-        )
+    final = partial.groupBy(*keys).agg(
+        F.min("_first").alias("_first"),
+        F.sum("_cnt").alias("span_count"),
+        F.sum("_errs").alias("error_count"),
+        F.max("_maxd").alias("max_duration_ms"),
+        F.min("_mints").alias("min_timestamp_ms"),
+        F.max("_maxts").alias("max_timestamp_ms"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_ops")))
+        ).alias("operations"),
+        F.min("_root").alias("_root"),
+    )
+    return _with_trace_id(final, keys).select(
+        *keys if keys != ["trace_id"] else [],
+        "trace_id",
+        F.col("_first.svc").alias("service_name"),
+        "span_count",
+        (F.col("error_count") > 0).alias("has_error"),
+        "error_count",
+        "max_duration_ms",
+        "min_timestamp_ms",
+        "max_timestamp_ms",
+        "operations",
+        F.col("_root.sid").alias("root_span_id"),
     )

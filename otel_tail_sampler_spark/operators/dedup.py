@@ -99,6 +99,31 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def minhash_signatures_agg(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash columns via explode + min-aggregate.
+
+    The expression form (minhash_signature) re-evaluates the shingle array
+    once PER HASH because CollapseProject inlines the shared subexpression —
+    O(num_hashes x shingling) per row. This form shingles once, then runs
+    num_hashes min-aggregates in one map-side-combinable groupBy — the shape
+    that scales (shuffle carries one partial row per doc per split)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"|{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -114,12 +139,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "_sig"
-        ),
-    )
+    sig = minhash_signatures_agg(docs, text_col, id_col, shingle_n, num_hashes)
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -128,7 +148,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws(",", *[F.col("_sig")[b * r + j] for j in range(r)])
+                            F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
                         ).alias("key"),
                     )
                     for b in range(bands)

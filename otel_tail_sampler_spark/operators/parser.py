@@ -20,13 +20,18 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from otel_tail_sampler_spark.sources.generator import HDR
 
 # Parsed span schema appended to the (passed-through) input columns.
+# trace_k1/k2 are the 128-bit trace id as two int64 words — the pipeline's
+# internal join/group key (16 fixed bytes, no per-span string construction;
+# the hex rendering is derived per-TRACE after aggregation, not per span).
 SPAN_FIELDS = [
+    ("trace_k1", pa.int64()),
+    ("trace_k2", pa.int64()),
     ("trace_id", pa.string()),
     ("span_id", pa.string()),
     ("parent_span_id", pa.string()),
@@ -40,6 +45,7 @@ SPAN_FIELDS = [
 ]
 
 PARSED_DDL = (
+    "trace_k1 long, trace_k2 long, "
     "trace_id string, span_id string, parent_span_id string, "
     "timestamp_ms long, duration_ms long, status_code int, span_kind int, "
     "service_name string, operation_name string, parse_ok boolean"
@@ -81,9 +87,13 @@ def _i64(vals: np.ndarray, off: np.ndarray, slot: int) -> np.ndarray:
 _DUMMY = np.zeros(HDR + 2, np.int32)
 
 
-def _parse_batch(tokens: pa.ListArray) -> dict[str, pa.Array]:
+def _parse_batch(tokens: pa.ListArray, fields: list[str] | None = None) -> dict[str, pa.Array]:
+    """Decode one Arrow batch; ``fields`` prunes computation to the listed
+    span columns (mapInArrow cannot see downstream column pruning, so the
+    caller pushes the projection into Python explicitly)."""
     import pyarrow.compute as pc
 
+    want = set(fields) if fields is not None else {n for n, _ in SPAN_FIELDS}
     offs = tokens.offsets.to_numpy().astype(np.int64)
     vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     off = offs[:-1]
@@ -106,38 +116,49 @@ def _parse_batch(tokens: pa.ListArray) -> dict[str, pa.Array]:
     ok &= (op_len_c >= 0) & (HDR + 1 + svc_len_c + 1 + op_len_c <= row_len)
     off = np.where(ok, off, dummy_off)
 
-    trace_id = _hex_fixed(vals[off[:, None] + np.arange(4)], 32)
-    span_id = _hex_fixed(vals[off[:, None] + np.arange(4, 6)], 16)
+    out: dict[str, pa.Array] = {}
+    if "trace_k1" in want or "trace_k2" in want:
+        if "trace_k1" in want:
+            out["trace_k1"] = pa.array(_i64(vals, off, 0), pa.int64())
+        if "trace_k2" in want:
+            out["trace_k2"] = pa.array(_i64(vals, off, 2), pa.int64())
+    if "trace_id" in want:
+        out["trace_id"] = _hex_fixed(vals[off[:, None] + np.arange(4)], 32)
+    if "span_id" in want:
+        out["span_id"] = _hex_fixed(vals[off[:, None] + np.arange(4, 6)], 16)
 
-    pwords = vals[off[:, None] + np.arange(6, 8)]
-    is_root = (pwords[:, 0] == 0) & (pwords[:, 1] == 0)  # (0,0) <=> NULL (decoder.rs:72-77)
-    parent_hex = _hex_fixed(pwords, 16)
-    if is_root.any():
-        mask = np.packbits(~is_root, bitorder="little")
-        parent_hex = pa.StringArray.from_buffers(
-            len(off),
-            parent_hex.buffers()[1],
-            parent_hex.buffers()[2],
-            pa.py_buffer(mask.tobytes()),
-            int(is_root.sum()),
-        )
+    if "parent_span_id" in want:
+        pwords = vals[off[:, None] + np.arange(6, 8)]
+        is_root = (pwords[:, 0] == 0) & (pwords[:, 1] == 0)  # (0,0) <=> NULL (decoder.rs:72-77)
+        parent_hex = _hex_fixed(pwords, 16)
+        if is_root.any():
+            mask = np.packbits(~is_root, bitorder="little")
+            parent_hex = pa.StringArray.from_buffers(
+                len(off),
+                parent_hex.buffers()[1],
+                parent_hex.buffers()[2],
+                pa.py_buffer(mask.tobytes()),
+                int(is_root.sum()),
+            )
+        out["parent_span_id"] = parent_hex
 
-    svc_len = vals[off + HDR].astype(np.int64)
-    svc_start = off + HDR + 1
-    op_len_pos = svc_start + svc_len
-    op_len = vals[op_len_pos].astype(np.int64)
-
-    out = {
-        "trace_id": trace_id,
-        "span_id": span_id,
-        "parent_span_id": parent_hex,
-        "timestamp_ms": pa.array(_i64(vals, off, 8), pa.int64()),
-        "duration_ms": pa.array(_i64(vals, off, 10), pa.int64()),
-        "status_code": pa.array(vals[off + 12], pa.int32()),
-        "span_kind": pa.array(vals[off + 13], pa.int32()),
-        "service_name": _gather_strings(vals, svc_start, svc_len),
-        "operation_name": _gather_strings(vals, op_len_pos + 1, op_len),
-    }
+    if "timestamp_ms" in want:
+        out["timestamp_ms"] = pa.array(_i64(vals, off, 8), pa.int64())
+    if "duration_ms" in want:
+        out["duration_ms"] = pa.array(_i64(vals, off, 10), pa.int64())
+    if "status_code" in want:
+        out["status_code"] = pa.array(vals[off + 12], pa.int32())
+    if "span_kind" in want:
+        out["span_kind"] = pa.array(vals[off + 13], pa.int32())
+    if "service_name" in want or "operation_name" in want:
+        svc_len = vals[off + HDR].astype(np.int64)
+        svc_start = off + HDR + 1
+        op_len_pos = svc_start + svc_len
+        if "service_name" in want:
+            out["service_name"] = _gather_strings(vals, svc_start, svc_len)
+        if "operation_name" in want:
+            op_len = vals[op_len_pos].astype(np.int64)
+            out["operation_name"] = _gather_strings(vals, op_len_pos + 1, op_len)
     if not ok.all():
         ok_arr = pa.array(ok)
         out = {
@@ -148,33 +169,123 @@ def _parse_batch(tokens: pa.ListArray) -> dict[str, pa.Array]:
     return out
 
 
-def parse_spans(df: DataFrame, keep_tokens: bool = True) -> DataFrame:
+def parse_spans(
+    df: DataFrame,
+    keep_tokens: bool = True,
+    fields: list[str] | None = None,
+) -> DataFrame:
     """tokenized (doc_id, tokens, n_tok, source) -> + parsed span columns.
 
-    ``keep_tokens=False`` drops the wide array column early so downstream
-    aggregation shuffles only narrow columns (the metadata-first pattern of
-    docs/ARCHITECTURE_V2_ICEBERG.md:27-33 — decide on summaries, fetch
-    payloads only for kept traces).
+    ``keep_tokens=False`` drops the wide array column INSIDE the Python stage
+    (not after it) so it is never serialized back over Arrow — downstream
+    aggregation then shuffles only narrow columns (the metadata-first pattern
+    of docs/ARCHITECTURE_V2_ICEBERG.md:27-33).
+
+    ``fields`` prunes the decoded columns (e.g. ``["trace_id"]`` for the
+    routing side, which only needs the join key next to the raw tokens).
+    ``parse_ok`` is always emitted.
     """
-    in_fields = [(f.name, df.schema[f.name].dataType) for f in df.schema.fields]
-    out_schema_ddl = (
-        ", ".join(f"{n} {t.simpleString()}" for n, t in in_fields) + ", " + PARSED_DDL
+    out_fields = [
+        (n, t) for n, t in SPAN_FIELDS if fields is None or n in fields or n == "parse_ok"
+    ]
+    in_fields = [
+        (f.name, df.schema[f.name].dataType)
+        for f in df.schema.fields
+        if keep_tokens or f.name != "tokens"
+    ]
+    type_ddl = dict(
+        (n, d)
+        for n, d in (p.split(" ") for p in PARSED_DDL.split(", "))
     )
+    out_schema_ddl = ", ".join(
+        [f"{n} {t.simpleString()}" for n, t in in_fields]
+        + [f"{n} {type_ddl[n]}" for n, _ in out_fields]
+    )
+    parse_names = [n for n, _ in out_fields if n != "parse_ok"]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tokens = batch.column("tokens")
             if isinstance(tokens, pa.ChunkedArray):  # defensive; batches are flat
                 tokens = tokens.combine_chunks()
-            parsed = _parse_batch(tokens)
-            arrays = list(batch.columns) + [parsed[name] for name, _ in SPAN_FIELDS]
-            names = batch.schema.names + [name for name, _ in SPAN_FIELDS]
+            parsed = _parse_batch(tokens, parse_names)
+            arrays, names = [], []
+            for i, nm in enumerate(batch.schema.names):
+                if keep_tokens or nm != "tokens":
+                    arrays.append(batch.column(i))
+                    names.append(nm)
+            for nm, _ in out_fields:
+                arrays.append(parsed[nm])
+                names.append(nm)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    out = df.mapInArrow(fn, out_schema_ddl)
-    if not keep_tokens:
-        out = out.drop("tokens")
-    return out
+    return df.mapInArrow(fn, out_schema_ddl)
+
+
+def _hex_word(tokens: Column, idx1: int) -> Column:
+    """1-based int32 slot -> 8-char uppercase hex (two's-complement uint32)."""
+    w = F.get(tokens, idx1 - 1).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.lpad(F.hex(w), 8, "0")
+
+
+def _i64_word(tokens: Column, idx0: int) -> Column:
+    """two int32 slots (0-based idx0, idx0+1) -> int64 (hi<<32 | lo)."""
+    hi = F.get(tokens, idx0).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    lo = F.get(tokens, idx0 + 1).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def parse_ok_expr(tokens: Column) -> Column:
+    """JVM-side structural validity — same predicate as _parse_batch's ok."""
+    n = F.size(tokens)
+    svc_len = F.get(tokens, HDR)
+    op_len = F.get(tokens, F.lit(HDR + 1) + svc_len)
+    return F.coalesce(
+        (n >= HDR + 2)
+        & (svc_len >= 0)
+        & (F.lit(HDR + 2) + svc_len <= n)
+        & (op_len >= 0)
+        & (F.lit(HDR + 2) + svc_len + op_len <= n),
+        F.lit(False),
+    )
+
+
+def trace_id_expr(tokens: Column) -> Column:
+    """JVM-side trace_id extraction (hex of words 0-3) — the routing-side
+    fast path: the wide token column never crosses the Arrow boundary just to
+    recover its join key. Whole-stage-codegen'd; null for malformed rows."""
+    tid = F.concat(*[_hex_word(tokens, i) for i in range(1, 5)])
+    return F.when(parse_ok_expr(tokens), tid)
+
+
+def trace_key_exprs(tokens: Column) -> tuple[Column, Column]:
+    """JVM-side 128-bit trace key as two int64 — pure integer ops, no string
+    allocation per span (the hot-path join key)."""
+    ok = parse_ok_expr(tokens)
+    return (
+        F.when(ok, _i64_word(tokens, 0)),
+        F.when(ok, _i64_word(tokens, 2)),
+    )
+
+
+def hex_from_keys(k1: Column, k2: Column) -> Column:
+    """(trace_k1, trace_k2) -> canonical 32-char uppercase hex trace_id.
+    %016X of a signed long prints its two's-complement (= unsigned) value,
+    so this matches the parser's big-endian hex exactly."""
+    return F.format_string("%016X%016X", k1, k2)
+
+
+def with_routing_key(tokenized: DataFrame) -> DataFrame:
+    """tokenized -> + (trace_k1, trace_k2, parse_ok) without any Python
+    stage and without per-span string construction."""
+    k1, k2 = trace_key_exprs(F.col("tokens"))
+    return tokenized.withColumns(
+        {
+            "trace_k1": k1,
+            "trace_k2": k2,
+            "parse_ok": parse_ok_expr(F.col("tokens")),
+        }
+    )
 
 
 def spans_with_flags(parsed: DataFrame) -> DataFrame:

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 DECISION_COLS = ["trace_id", "decision", "decision_policy"]
 SINKS = ("keep", "drop", "overflow")
+DROP_SINK = "drop"
+DROP_POLICY = "no_policy_matched"
 
 
 def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
@@ -35,7 +37,29 @@ def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
     they route to the ``malformed`` sink instead of aborting or vanishing —
     one scan, one join, no separate quarantine pass.
     """
-    out = spans.join(decided.select(*DECISION_COLS), "trace_id", "left")
+    # Broadcast only the NON-DEFAULT decisions: 'drop'/'no_policy_matched' is
+    # the overwhelming majority at real sampling rates, so the join build side
+    # shrinks from |traces| to |kept + overflow + force-dropped| (~a few
+    # percent) — the metadata-first move that keeps the broadcast O(kept), not
+    # O(traces), at any scale. Unmatched spans default to drop.
+    #
+    # Join on the int64 trace-key pair when both sides carry it (16-byte
+    # fixed keys, no per-span string hashing); the hex trace_id then comes
+    # from the build side for matched (non-drop) rows only.
+    int_keys = "trace_k1" in spans.columns and "trace_k1" in decided.columns
+    join_keys = ["trace_k1", "trace_k2"] if int_keys else ["trace_id"]
+    cols = join_keys + [
+        c
+        for c in DECISION_COLS
+        if c not in join_keys and not (c in spans.columns and c != "trace_id")
+    ]
+    if "trace_id" in spans.columns and "trace_id" not in join_keys:
+        cols = [c for c in cols if c != "trace_id"]
+    interesting = decided.select(*cols).filter(
+        (F.col("decision") != DROP_SINK)
+        | (F.col("decision_policy") != DROP_POLICY)
+    )
+    out = spans.join(interesting, join_keys, "left")
     bad = (
         ~F.col("parse_ok")
         if "parse_ok" in spans.columns
@@ -43,9 +67,11 @@ def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
     )
     return out.withColumns(
         {
-            "decision": F.when(bad, F.lit("malformed")).otherwise(F.col("decision")),
+            "decision": F.when(bad, F.lit("malformed")).otherwise(
+                F.coalesce(F.col("decision"), F.lit(DROP_SINK))
+            ),
             "decision_policy": F.when(bad, F.lit("parse_error")).otherwise(
-                F.col("decision_policy")
+                F.coalesce(F.col("decision_policy"), F.lit(DROP_POLICY))
             ),
         }
     )

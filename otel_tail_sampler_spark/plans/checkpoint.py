@@ -42,10 +42,15 @@ MANIFEST_SCHEMA = "bucket int, status string, rows long, committed_at_ms long"
 
 
 def bucket_col(n_buckets: int):
-    # malformed rows (null trace_id) fall back to doc_id so they land in a
-    # deterministic bucket instead of all colliding in one
+    # trace-aligned bucket from the int64 key pair when present; malformed
+    # rows (null key) fall back to doc_id so they land in a deterministic
+    # bucket instead of all colliding in one
     return F.pmod(
-        F.xxhash64(F.coalesce(F.col("trace_id"), F.col("doc_id"))), F.lit(n_buckets)
+        F.xxhash64(
+            F.coalesce(F.col("trace_k1").cast("string"), F.col("doc_id")),
+            F.coalesce(F.col("trace_k2").cast("string"), F.lit("")),
+        ),
+        F.lit(n_buckets),
     ).cast("int")
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otel_tail_sampler_spark.operators.assembly import assemble_traces
-from otel_tail_sampler_spark.operators.parser import parse_spans
+from otel_tail_sampler_spark.operators.parser import parse_spans, with_routing_key
 from otel_tail_sampler_spark.operators.policies import SamplerConfig, decide
 from otel_tail_sampler_spark.operators.routing import (
     decision_metrics,
@@ -36,7 +36,8 @@ from otel_tail_sampler_spark.operators.routing import (
 class PipelineResult:
     spans: DataFrame
     traces: DataFrame
-    decided: DataFrame
+    decided: DataFrame  # full TraceSummary + policy flags (lazy, unpersisted)
+    decisions: DataFrame  # slim (trace_id, decision, decision_policy), persisted
     routed: DataFrame
 
 
@@ -57,12 +58,22 @@ def run_pipeline(
 ) -> PipelineResult:
     cfg = cfg or SamplerConfig()
     tokenized = read_tokenized(spark, input_path)
-    spans = parse_spans(tokenized)
 
-    # assembly shuffles ONLY narrow columns — drop tokens before the groupBy;
-    # malformed rows (parse_ok=false) never reach assembly, they route to the
+    # Two parse projections of the same scan (mapInArrow can't be
+    # column-pruned by Catalyst, so the pruning is explicit):
+    #  * assembly side: all span fields, tokens NEVER cross back over Arrow
+    #  * routing side: trace_id only, tokens pass through untouched
+    # This is the metadata-first split — the wide payload is decoded into
+    # nothing, and only ever moves through the broadcast-joined route stage.
+    # assembly needs ONLY the decoded span fields: ship just `tokens` into the
+    # Python stage (no doc_id/source echo — Arrow IPC is the narrow stage's
+    # main cost) and nothing wide comes back (keep_tokens=False)
+    full = parse_spans(tokenized.select("tokens"), keep_tokens=False)
+    spans = with_routing_key(tokenized)  # pure JVM: no Arrow roundtrip
+
+    # malformed rows (parse_ok=false) never reach assembly; they route to the
     # 'malformed' sink inside route_spans
-    good = spans.filter(F.col("parse_ok")).drop("tokens", "n_tok")
+    good = full.filter(F.col("parse_ok"))
     traces = assemble_traces(good, salt_buckets=salt_buckets)
 
     if force_rules:
@@ -71,8 +82,20 @@ def run_pipeline(
         traces = apply_force_rules(traces, good, force_rules)
 
     decided = decide(traces, cfg)
-    routed = route_spans(spans, decided)
-    return PipelineResult(spans=spans, traces=traces, decided=decided, routed=routed)
+    # Persist ONLY the slim projection: persisting the full summary would
+    # force the build side to materialize every aggregate (collect_set,
+    # struct-mins, string decode) that Catalyst otherwise prunes to the 3
+    # aggregates the decision needs. Slim = megabytes at any trace count,
+    # reused by the route join build side and the metrics action.
+    slim_cols = ["trace_id", "decision", "decision_policy"]
+    if "trace_k1" in decided.columns:
+        slim_cols = ["trace_k1", "trace_k2"] + slim_cols
+    decisions = decided.select(*slim_cols).persist()
+    routed = route_spans(spans, decisions)
+    return PipelineResult(
+        spans=spans, traces=traces, decided=decided, decisions=decisions,
+        routed=routed,
+    )
 
 
 def run_and_write(
@@ -84,14 +107,14 @@ def run_and_write(
 ) -> dict[str, DataFrame]:
     res = run_pipeline(spark, input_path, cfg, **kw)
     write_routed(res.routed, os.path.join(out_dir, "routed"))
-    dm = decision_metrics(res.decided)
+    dm = decision_metrics(res.decisions)
     rm = sink_row_metrics(res.routed)
     dm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_decisions"))
     rm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_rows"))
     # exported manifest (J2 dedup source on re-runs; replaces Redis
     # exported:{trace_id} keys, evaluator.rs:358-401)
     (
-        res.decided.filter(F.col("decision") == "keep")
+        res.decisions.filter(F.col("decision") == "keep")
         .select("trace_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "exported"))

@@ -176,9 +176,19 @@ def build_token_arrays(f: dict[str, np.ndarray]) -> pa.ListArray:
 def fields_to_oracle_table(f: dict[str, np.ndarray], doc_id: np.ndarray,
                            source: np.ndarray) -> pa.Table:
     """Decoded-span truth table, derived from fields (never from tokens)."""
-    parent_hex = _hex_upper(f["parent_words"])
-    parent = pa.array(
-        [None if r else p for p, r in zip(parent_hex, f["is_root"])], pa.string()
+    import binascii
+
+    raw = f["parent_words"].astype(">u4").tobytes()
+    hexed = binascii.hexlify(raw).upper()
+    n_rows = len(f["is_root"])
+    offsets = np.arange(0, (n_rows + 1) * 16, 16, dtype=np.int32)
+    mask = np.packbits(~f["is_root"], bitorder="little")
+    parent = pa.Array.from_buffers(
+        pa.string(),
+        n_rows,
+        [pa.py_buffer(mask.tobytes()), pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(hexed)],
+        null_count=int(f["is_root"].sum()),
     )
     services = np.array(SPAN_SERVICES)
     operations = np.array(SPAN_OPERATIONS)
@@ -200,13 +210,18 @@ def fields_to_oracle_table(f: dict[str, np.ndarray], doc_id: np.ndarray,
 
 
 def generate_dataset(spec: GenSpec, out_dir: str) -> dict[str, str]:
-    """Write tokenized.parquet + spans_oracle.parquet under ``out_dir``.
+    """Write tokenized/ (sharded parquet dir) + spans_oracle.parquet.
 
     Idempotent: skips work if the marker file for this spec already exists.
-    Returns {"tokenized": path, "oracle": path}.
+    Generation is chunked by SPAN count so arbitrarily large specs neither
+    overflow int32 list offsets (~2^31 token values per ListArray) nor
+    allocate giant buffers (first-touch page faults are pathologically slow
+    in this sandbox). Field values are identical to a single-pass generation:
+    the whole per-trace/per-span plan is drawn up front (cheap scalars), only
+    the token/row materialization is chunked.
     """
     paths = {
-        "tokenized": os.path.join(out_dir, "tokenized.parquet"),
+        "tokenized": os.path.join(out_dir, "tokenized"),  # sharded directory
         "oracle": os.path.join(out_dir, "spans_oracle.parquet"),
     }
     marker = os.path.join(out_dir, "_SPEC.json")
@@ -216,32 +231,50 @@ def generate_dataset(spec: GenSpec, out_dir: str) -> dict[str, str]:
                 return paths
     os.makedirs(out_dir, exist_ok=True)
 
-    f = generate_fields(spec)
-    n = len(f["timestamp_ms"])
-    doc_id = np.char.add("span-", np.char.zfill(np.arange(n).astype("U12"), 12))
-    source = np.char.add(
-        "svc-", np.char.zfill(f["service_idx"].astype("U2"), 2)
+    f_all = generate_fields(spec)
+    n = len(f_all["timestamp_ms"])
+    doc_id_all = np.char.add(
+        "span-", np.char.zfill(np.arange(n).astype("U12"), 12)
+    )
+    source_all = np.char.add(
+        "svc-", np.char.zfill(f_all["service_idx"].astype("U2"), 2)
     )
 
-    tokens = build_token_arrays(f)
-    tokenized = pa.table(
-        {
-            "doc_id": pa.array(doc_id, pa.string()),
-            "tokens": tokens,
-            "n_tok": pa.array(
-                (tokens.offsets.to_numpy()[1:] - tokens.offsets.to_numpy()[:-1]).astype(
-                    np.int32
-                )
-            ),
-            "source": pa.array(source, pa.string()),
-        }
-    )
-    # row_group_size bounds per-split memory and gives Spark parallel splits
-    pq.write_table(tokenized, paths["tokenized"], row_group_size=131072)
-    pq.write_table(
-        fields_to_oracle_table(f, doc_id, source), paths["oracle"],
-        row_group_size=131072,
-    )
+    tok_dir = paths["tokenized"]
+    os.makedirs(tok_dir, exist_ok=True)
+    n_files = max(8, min(256, n // 20_000))
+    rows_per = (n + n_files - 1) // n_files
+
+    oracle_writer = None
+    for i in range(n_files):
+        lo = i * rows_per
+        if lo >= n:
+            break
+        hi = min(lo + rows_per, n)
+        sl = slice(lo, hi)
+        f = {k: v[sl] for k, v in f_all.items()}
+        tokens = build_token_arrays(f)
+        offs = tokens.offsets.to_numpy()
+        tokenized = pa.table(
+            {
+                "doc_id": pa.array(doc_id_all[sl], pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array((offs[1:] - offs[:-1]).astype(np.int32)),
+                "source": pa.array(source_all[sl], pa.string()),
+            }
+        )
+        pq.write_table(
+            tokenized,
+            os.path.join(tok_dir, f"part-{i:04d}.parquet"),
+            row_group_size=65536,
+        )
+        oracle_tbl = fields_to_oracle_table(f, doc_id_all[sl], source_all[sl])
+        if oracle_writer is None:
+            oracle_writer = pq.ParquetWriter(paths["oracle"], oracle_tbl.schema)
+        oracle_writer.write_table(oracle_tbl, row_group_size=131072)
+    if oracle_writer is not None:
+        oracle_writer.close()
+
     with open(marker, "w") as fh:
         json.dump(asdict(spec), fh)
     return paths
@@ -268,8 +301,9 @@ SF_SPECS = {
     "0.001": GenSpec(n_traces=1_200),
     "0.01": GenSpec(n_traces=12_000),
     "0.1": GenSpec(n_traces=120_000),
-    # bench variant with the load_simulation heavy-hitter shape
+    # bench variants with the load_simulation heavy-hitter shape
     "bench0.1": GenSpec(n_traces=118_000, heavy_frac=0.01, heavy_spans=2000),
+    "bench0.4": GenSpec(n_traces=472_000, heavy_frac=0.01, heavy_spans=2000),
 }
 
 

@@ -114,3 +114,75 @@ def test_malformed_rows_quarantined(spark, tmp_path):
     assert (routed[routed["decision"] != "malformed"]["parse_ok"]).all()
     # malformed rows keep their original tokens for replay
     assert sorted(len(t) for t in mal["tokens"]) == [0, 3, 16, 18]
+
+
+def test_jvm_routing_key_equals_python_parse(spark, small_dataset):
+    """with_routing_key (pure JVM) must agree with the Arrow parser on both
+    trace_id and parse_ok, including malformed rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.parser import parse_spans, with_routing_key
+
+    from otel_tail_sampler_spark.operators.parser import hex_from_keys
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    a = with_routing_key(df).select(
+        "doc_id",
+        F.when(
+            F.col("parse_ok"),
+            hex_from_keys(F.col("trace_k1"), F.col("trace_k2")),
+        ).alias("tid"),
+        "parse_ok",
+    )
+    b = parse_spans(df, False, ["trace_id"]).select(
+        "doc_id", F.col("trace_id").alias("t2"), F.col("parse_ok").alias("p2")
+    )
+    assert (
+        a.join(b, "doc_id")
+        .filter("tid IS DISTINCT FROM t2 OR parse_ok <> p2")
+        .count()
+        == 0
+    )
+
+
+def test_jvm_routing_key_malformed(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.parser import with_routing_key
+
+    bad = pa.array(
+        [[1, 2, 3], [], [0] * 14 + [99, 65], [0] * 14 + [1, 65, -5, 66],
+         [0] * 14 + [0, 0]],
+        pa.list_(pa.int32()),
+    )
+    tbl = pa.table(
+        {"doc_id": [f"d{i}" for i in range(5)], "tokens": bad,
+         "n_tok": pa.array([3, 0, 16, 18, 16], pa.int32()),
+         "source": ["s"] * 5}
+    )
+    p = str(tmp_path / "bad2.parquet")
+    pq.write_table(tbl, p)
+    from otel_tail_sampler_spark.operators.parser import hex_from_keys
+
+    rows = (
+        with_routing_key(spark.read.parquet(p))
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.when(
+                F.col("parse_ok"),
+                hex_from_keys(F.col("trace_k1"), F.col("trace_k2")),
+            ).alias("trace_id"),
+        )
+        .collect()
+    )
+    by = {r["doc_id"]: (r["parse_ok"], r["trace_id"]) for r in rows}
+    assert by["d0"][0] is False and by["d0"][1] is None
+    assert by["d1"][0] is False
+    assert by["d2"][0] is False  # svc_len 99 out of bounds
+    assert by["d3"][0] is False  # negative op len
+    assert by["d4"] == (True, "00000000000000000000000000000000")
