@@ -269,6 +269,66 @@ def q_span_compression(spark, sf_dir):
     )
 
 
+def q_trace_assembly_salted(spark, sf_dir):
+    """A1 salted two-phase variant — proven against the SAME oracle as the
+    plain assembly (salting must be semantically invisible)."""
+    from otel_tail_sampler_spark.operators.assembly import assemble_traces
+
+    t = assemble_traces(
+        _parsed(spark, sf_dir).drop("n_tok", "parse_ok"), salt_buckets=8
+    )
+    return t.select(
+        "trace_id",
+        "service_name",
+        "span_count",
+        "has_error",
+        "error_count",
+        "max_duration_ms",
+        "min_timestamp_ms",
+        "max_timestamp_ms",
+        F.array_join("operations", ",").alias("operations_csv"),
+        "root_span_id",
+    )
+
+
+def q_force_rules(spark, sf_dir):
+    """D7: priority-ordered force keep/drop rules (resource + span matchers)
+    layered over the default policies."""
+    from otel_tail_sampler_spark.operators.force_rules import apply_force_rules
+    from otel_tail_sampler_spark.operators.policies import decide
+
+    rules = [
+        {
+            "id": "keep-payment",
+            "priority": 100,
+            "resource_matchers": [
+                {"key": "service.name", "op": "eq", "value": "payment-service"}
+            ],
+            "span_matchers": [],
+            "action": "force_keep",
+        },
+        {
+            "id": "drop-slow-search",
+            "priority": 50,
+            "resource_matchers": [
+                {"key": "service.name", "op": "eq", "value": "search-service"}
+            ],
+            "span_matchers": [
+                {"key": "duration_ms", "op": "gte", "value": "5000"}
+            ],
+            "action": "force_drop",
+        },
+    ]
+    spans = _parsed(spark, sf_dir).drop("n_tok", "parse_ok")
+    traces = apply_force_rules(_traces(spark, sf_dir), spans, rules)
+    d = decide(traces, ENTRY_CFG)
+    return (
+        d.groupBy("decision_policy", "decision")
+        .agg(F.count(F.lit(1)).alias("trace_count"))
+        .orderBy("decision_policy", "decision")
+    )
+
+
 def q_enrich_broadcast(spark, sf_dir):
     """J4: broadcast service-dimension join + rollup by tier."""
     from otel_tail_sampler_spark.operators.enrichment import (
@@ -541,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline operators (generated tokenized table; oracle = field-level parquet)
         "parse_spans": q_parse_spans,
         "trace_assembly": q_trace_assembly,
+        "trace_assembly_salted": q_trace_assembly_salted,
         "policy_decisions": q_policy_decisions,
         "sink_counts": q_sink_counts,
         "routed_keep_rows": q_routed_keep_rows,
@@ -552,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
         "exported_dedup_anti": q_exported_dedup_anti,
+        "force_rules": q_force_rules,
         # relational operators on driver testdata
         "events_session_agg": q_events_session_agg,
         "events_latency_policy": q_events_latency_policy,
@@ -572,7 +634,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
+        # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
+        "lsh_topk_approx": q_lsh_topk_approx,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+def q_lsh_topk_approx(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (approximate by construction)."""
+    from otel_tail_sampler_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries_df, k=5, n_planes=4, dim=64).select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction plumbing (stubbed decode kernel)."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, n=64), dim=8).select(
+        "media_id", "kind", "feat_dim", "payload_bytes", "payload_crc"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -676,6 +766,37 @@ def oracle_sql() -> dict[str, str]:
                    max_duration_ms, min_timestamp_ms, max_timestamp_ms,
                    operations_csv, root_span_id
             FROM summaries
+        """,
+        "trace_assembly_salted": S
+        + """
+            SELECT trace_id, service_name, span_count, has_error, error_count,
+                   max_duration_ms, min_timestamp_ms, max_timestamp_ms,
+                   operations_csv, root_span_id
+            FROM summaries
+        """,
+        "force_rules": S
+        + f"""
+            , span_flags AS (
+              SELECT trace_id,
+                     max(CASE WHEN duration_ms >= 5000 THEN 1 ELSE 0 END) = 1
+                       AS slow_span
+              FROM '{sp}' GROUP BY 1
+            ),
+            forced AS (
+              SELECT f.*,
+                CASE WHEN f.service_name = 'payment-service' THEN 'force_keep'
+                     WHEN f.service_name = 'search-service' AND sf.slow_span
+                       THEN 'force_drop' END AS force_action
+              FROM final f JOIN span_flags sf USING (trace_id)
+            )
+            SELECT CASE WHEN force_action = 'force_drop' THEN 'force_drop'
+                        WHEN force_action = 'force_keep' THEN 'force_keep'
+                        ELSE decision_policy END AS decision_policy,
+                   CASE WHEN force_action = 'force_drop' THEN 'drop'
+                        WHEN force_action = 'force_keep' THEN 'keep'
+                        ELSE decision END AS decision,
+                   count(*) AS trace_count
+            FROM forced GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "policy_decisions": S
         + """

@@ -51,13 +51,17 @@ def read_tokenized(spark: SparkSession, path: str) -> DataFrame:
 
 def run_pipeline(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | DataFrame,
     cfg: SamplerConfig | None = None,
     force_rules: list[dict] | None = None,
     salt_buckets: int | None = None,
 ) -> PipelineResult:
     cfg = cfg or SamplerConfig()
-    tokenized = read_tokenized(spark, input_path)
+    tokenized = (
+        input_path
+        if isinstance(input_path, DataFrame)
+        else read_tokenized(spark, input_path)
+    )
 
     # Two parse projections of the same scan (mapInArrow can't be
     # column-pruned by Catalyst, so the pruning is explicit):

@@ -242,7 +242,7 @@ def generate_dataset(spec: GenSpec, out_dir: str) -> dict[str, str]:
 
     tok_dir = paths["tokenized"]
     os.makedirs(tok_dir, exist_ok=True)
-    n_files = max(8, min(256, n // 20_000))
+    n_files = max(8, min(256, n // 150_000))
     rows_per = (n + n_files - 1) // n_files
 
     oracle_writer = None

@@ -1,0 +1,96 @@
+"""Streaming pipeline: session-window assembly == inactivity-timeout semantics.
+
+Verifies that the bounded streaming run (Trigger.AvailableNow) emits exactly
+the traces whose sessions the final watermark closed, with summaries equal to
+the batch assembly for those traces, and keep/drop decisions matching the
+batch decide().
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from otel_tail_sampler_spark.operators.policies import (
+    CardinalityPolicy,
+    ErrorPolicy,
+    LatencyPolicy,
+    SamplerConfig,
+)
+from otel_tail_sampler_spark.sources.generator import GenSpec, generate_dataset
+from otel_tail_sampler_spark.streaming.stream_job import run_streaming_pipeline
+
+from tests import oracle_pandas as O
+
+CFG = SamplerConfig(
+    error=ErrorPolicy(sample_rate=0.8),
+    latency=LatencyPolicy(threshold_ms=4000, sample_rate=1.0),
+    cardinality=CardinalityPolicy(max_span_count=100),
+)
+
+GAP_S = 30
+DELAY_S = 10
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark, tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("stream_in")
+    out_dir = str(tmp_path_factory.mktemp("stream_out"))
+    paths = generate_dataset(
+        GenSpec(n_traces=300, spans_per_trace=5, error_rate=0.2, seed=11),
+        str(data_dir),
+    )
+    run_streaming_pipeline(
+        spark,
+        paths["tokenized"],
+        out_dir,
+        CFG,
+        gap_seconds=GAP_S,
+        watermark_delay=f"{DELAY_S} seconds",
+        max_files_per_trigger=3,
+    )
+    emitted = pd.read_parquet(os.path.join(out_dir, "decided"))
+    oracle_spans = pd.read_parquet(paths["oracle"])
+    return emitted, oracle_spans
+
+
+def test_emitted_set_is_watermark_closed_sessions(stream_result):
+    emitted, spans = stream_result
+    # expected: sessions whose (last span ts + gap) <= final watermark
+    per_trace = spans.groupby("trace_id")["timestamp_ms"].agg(["min", "max"])
+    final_wm = spans["timestamp_ms"].max() - DELAY_S * 1000
+    closed = set(per_trace[per_trace["max"] + GAP_S * 1000 <= final_wm].index)
+    got = set(emitted["trace_id"])
+    assert got == closed
+    assert len(got) > 0
+
+
+def test_emitted_summaries_match_batch_assembly(stream_result):
+    emitted, spans = stream_result
+    want = O.assemble(spans).set_index("trace_id")
+    for _, row in emitted.sample(min(50, len(emitted)), random_state=0).iterrows():
+        w = want.loc[row["trace_id"]]
+        assert row["span_count"] == w["span_count"]
+        assert row["has_error"] == w["has_error"]
+        assert row["max_duration_ms"] == w["max_duration_ms"]
+        assert row["min_timestamp_ms"] == w["min_timestamp_ms"]
+        assert sorted(row["operations"]) == w["operations"]
+        assert row["root_span_id"] == w["root_span_id"]
+
+
+def test_stream_decisions_match_batch_decide(stream_result):
+    emitted, spans = stream_result
+    decided_o = O.decide(
+        O.assemble(spans),
+        error_rate=0.8,
+        latency_threshold_ms=4000,
+        latency_rate=1.0,
+        max_span_count=100,
+    ).set_index("trace_id")
+    for _, row in emitted.iterrows():
+        assert row["decision"] == decided_o.loc[row["trace_id"], "decision"]
+
+
+def test_no_duplicate_emissions(stream_result):
+    emitted, _ = stream_result
+    assert emitted["trace_id"].is_unique
