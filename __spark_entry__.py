@@ -43,9 +43,14 @@ _ORACLE_SF = "0.01"
 
 
 def _dataset(sf_dir: str) -> dict[str, str]:
-    from otel_tail_sampler_spark.sources.generator import ensure_dataset, sf_from_dir
+    from otel_tail_sampler_spark.sources.generator import (
+        SF_SPECS,
+        ensure_dataset,
+        sf_from_dir,
+    )
 
-    return ensure_dataset(sf_from_dir(sf_dir))
+    sf = sf_from_dir(sf_dir)
+    return ensure_dataset(sf if sf in SF_SPECS else _ORACLE_SF)
 
 
 def _oracle_paths() -> dict[str, str]:

@@ -241,6 +241,10 @@ def generate_dataset(spec: GenSpec, out_dir: str) -> dict[str, str]:
     )
 
     tok_dir = paths["tokenized"]
+    if os.path.isdir(tok_dir):  # stale shards from a different spec
+        import shutil
+
+        shutil.rmtree(tok_dir)
     os.makedirs(tok_dir, exist_ok=True)
     n_files = max(8, min(256, n // 150_000))
     rows_per = (n + n_files - 1) // n_files
@@ -304,6 +308,7 @@ SF_SPECS = {
     # bench variants with the load_simulation heavy-hitter shape
     "bench0.1": GenSpec(n_traces=118_000, heavy_frac=0.01, heavy_spans=2000),
     "bench0.4": GenSpec(n_traces=472_000, heavy_frac=0.01, heavy_spans=2000),
+    "bench1.6": GenSpec(n_traces=1_888_000, heavy_frac=0.01, heavy_spans=2000),
 }
 
 
@@ -314,6 +319,9 @@ def sf_from_dir(sf_dir: str) -> str:
 
 
 def ensure_dataset(sf: str) -> dict[str, str]:
-    spec = SF_SPECS.get(sf, SF_SPECS["0.01"])
+    if sf not in SF_SPECS:
+        # a silent default once corrupted a dataset by overwriting part files
+        # with a smaller spec — unknown scales are an error
+        raise KeyError(f"unknown sf {sf!r}; known: {sorted(SF_SPECS)}")
     out_dir = os.path.join(DATA_ROOT, f"sf{sf}")
-    return generate_dataset(spec, out_dir)
+    return generate_dataset(SF_SPECS[sf], out_dir)

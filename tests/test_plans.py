@@ -17,6 +17,9 @@ def _explain(df, mode="formatted"):
 
 @pytest.fixture(scope="module")
 def plans(spark, small_dataset):
+    # cached `decisions` from earlier tests plan-match into this build and
+    # change the rendered plan — clear for a deterministic shape
+    spark.catalog.clearCache()
     res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)
     return {
         "routed": _explain(res.routed),
