@@ -442,6 +442,68 @@ def q_events_topk(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Batch sessionization (gap-based) via window lag — the batch form of
+    the streaming session_window; per-user session stats."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap_ms = 30 * 60 * 1000
+    sess = (
+        e.withColumn("_prev", F.lag("ts_ms").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.col("ts_ms") - F.col("_prev") > gap_ms)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_ms", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def q_compression_remainder(spark, sf_dir):
+    """A5: spans NOT in any surviving compression group pass through —
+    recompute-key anti-join semantics checked against SQL."""
+    from otel_tail_sampler_spark.operators.compression import (
+        CompressionConfig,
+        compress_spans,
+    )
+
+    out = compress_spans(
+        _parsed(spark, sf_dir),
+        CompressionConfig(
+            min_compression_count=900, window_seconds=100_000, per_trace=False
+        ),
+    )
+    return (
+        out["passthrough"]
+        .groupBy("service_name", "operation_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("service_name", "operation_name")
+    )
+
+
 def q_orders_enrich_join(spark, sf_dir):
     """J4-analog on TPC-H-ish: orders ⋈ broadcast(customer) rollup by nation."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -626,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_compression_agg": q_events_compression_agg,
         "events_attr_matchers": q_events_attr_matchers,
         "events_topk": q_events_topk,
+        "events_sessionize": q_events_sessionize,
+        "compression_remainder": q_compression_remainder,
         "orders_enrich_join": q_orders_enrich_join,
         "lineitem_semi_join": q_lineitem_semi_join,
         "lineitem_anti_join": q_lineitem_anti_join,
@@ -938,6 +1002,47 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value
             FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                              OR ts_ms - lag(ts_ms) OVER w > 1800000
+                         THEN 1 ELSE 0 END AS newf
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+            ),
+            sess AS (
+              SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM marked
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+                   round(sum(value), 6) AS total_value
+            FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "compression_remainder": f"""
+            WITH keyed AS (
+              SELECT *, operation_name AS op_type, upper(trim(regexp_replace(regexp_replace(regexp_replace( regexp_replace(operation_name, '''[^'']*''', '?', 'g'), '"[^"]*"', '?', 'g'), '\\d+', '?', 'g'), '\\s+', ' ', 'g'))) AS norm_statement
+              FROM '{sp}'
+            ),
+            surviving AS (
+              SELECT service_name, op_type, norm_statement
+              FROM keyed WHERE duration_ms <= 60000
+              GROUP BY 1, 2, 3
+              HAVING count(*) >= 900
+                 AND max(timestamp_ms) - min(timestamp_ms) <= 100000000
+            )
+            SELECT k.service_name, k.operation_name, count(*) AS cnt
+            FROM keyed k
+            WHERE NOT EXISTS (
+              SELECT 1 FROM surviving s
+              WHERE s.service_name = k.service_name AND s.op_type = k.op_type
+                AND s.norm_statement = k.norm_statement
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_attr_matchers": """
             SELECT event_id, user_id,
