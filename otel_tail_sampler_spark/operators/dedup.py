@@ -171,6 +171,76 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_components(pairs: DataFrame, all_ids: DataFrame | None = None,
+                     id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, component_id).
+
+    component_id = min id reachable through the pair graph; the canonical
+    keeper of each duplicate cluster. Iterative min-label propagation over the
+    edge list (each round: one join + one agg), converging in O(diameter)
+    rounds — the standard Spark CC pattern for dedup clusters, which are tiny
+    in diameter. Deterministic; no driver-side graph.
+
+    ``pairs``: (id_a, id_b) candidate/verified duplicate pairs.
+    ``all_ids``: optional full id table; singletons map to themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .withColumnRenamed("src", "id")
+    )
+    # iterative algorithms MUST truncate lineage per round: without a
+    # checkpoint, round k replays all k-1 prior joins and the plan (and
+    # Catalyst analysis time) grows quadratically
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, labels of my neighbors)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.withColumnRenamed("label", "component_id")
+    if all_ids is not None:
+        ids = all_ids.select(F.col(id_col).alias("id"))
+        out = (
+            ids.join(out, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("component_id"), F.col("id")).alias("component_id"),
+            )
+        )
+    return out.withColumnRenamed("id", id_col)
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
