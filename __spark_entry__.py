@@ -705,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
         "lsh_topk_approx": q_lsh_topk_approx,
+        "ivf_topk_approx": q_ivf_topk_approx,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -718,6 +719,19 @@ def q_lsh_topk_approx(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return lsh_topk(emb, queries_df, k=5, n_planes=4, dim=64).select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_ivf_topk_approx(spark, sf_dir):
+    """IVF coarse-quantized ANN (approximate; driver-sampled k-means train)."""
+    from otel_tail_sampler_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, k=5, n_clusters=8, nprobe=3).select(
         "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 

@@ -80,6 +80,98 @@ def with_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
     return df.withColumn(out_col, _sign_bits(F.col(vec_col), planes))
 
 
+def ivf_centroids(
+    emb_sample: "np.ndarray", n_clusters: int = 16, iters: int = 5, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic mini k-means on a driver-side SAMPLE (the IVF training
+    pass — at 100 TB you train on a few hundred thousand sampled vectors,
+    never the corpus). Returns L2-normalized centroids."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x = emb_sample / np.maximum(np.linalg.norm(emb_sample, axis=1, keepdims=True), 1e-9)
+    c = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for k in range(n_clusters):
+            members = x[assign == k]
+            if len(members):
+                c[k] = members.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-9)
+    return c.round(6).tolist()
+
+
+def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """array of the n nearest centroid ids by dot product (JVM expressions)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: a.cast("double") * b.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dot"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: s.getField("cid"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    train_sample: int = 4096,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_clusters``
+    inverted lists, probe the ``nprobe`` nearest lists per query, exact
+    re-rank within them.
+
+    Scale shape: one narrow pass assigns every corpus vector to a cluster
+    (centroids are literals — broadcast-free), the probe join is on the
+    cluster id (shuffle bounded by candidate volume ~ nprobe/n_clusters of the
+    corpus), and recall grows with nprobe. Train sample is collected once."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(corpus_vec).limit(train_sample).collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = ivf_centroids(sample, n_clusters, seed=seed)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv")
+    ).withColumn("cluster", _nearest_clusters(F.col("_cv"), cents, 1)[0])
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
+    ).withColumn(
+        "cluster", F.explode(_nearest_clusters(F.col("_qv"), cents, nprobe))
+    )
+    scored = c.join(F.broadcast(q), "cluster").withColumn(
+        "cosine", cosine_sim(F.col("_cv"), F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

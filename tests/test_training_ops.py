@@ -211,3 +211,19 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         M.extract_features(media, real=True)
+
+
+def test_ivf_topk_recall(spark, emb, queries):
+    exact = S.cosine_topk(emb, queries, k=5).toPandas()
+    approx = S.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=3).toPandas()
+    # self-hit guaranteed (query's own cluster always probed first)
+    for qid in [0, 1, 2]:
+        a = approx[approx["query_id"] == qid].sort_values("rank")
+        assert len(a) == 5 and a.iloc[0]["corpus_id"] == qid
+    inter = set(map(tuple, approx[["query_id", "corpus_id"]].values)) & set(
+        map(tuple, exact[["query_id", "corpus_id"]].values)
+    )
+    assert len(inter) >= 8  # >=~50% recall at nprobe 3/8 on random vectors
+    # deterministic
+    again = S.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=3).toPandas()
+    assert approx.equals(again)
