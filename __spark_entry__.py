@@ -770,7 +770,7 @@ summaries AS (
          any_value(svc_first) AS service_name,
          count(*) AS span_count,
          max(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) = 1 AS has_error,
-         sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS error_count,
+         sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)::BIGINT AS error_count,
          max(duration_ms) AS max_duration_ms,
          min(timestamp_ms) AS min_timestamp_ms,
          max(timestamp_ms) AS max_timestamp_ms,
@@ -943,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT trace_id) AS trace_count,
                    round(avg(duration_ms), 4) AS avg_duration_ms,
                    max(duration_ms) AS max_duration_ms,
-                   sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS error_count
+                   sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)::BIGINT AS error_count
             FROM '{sp}' GROUP BY 1 ORDER BY span_count DESC, service_name ASC
         """,
         "span_compression": f"""
@@ -957,8 +957,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT service_name, op_type, norm_statement,
                    count(*) AS span_count,
-                   sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS error_count,
-                   sum(duration_ms) AS total_duration_ms,
+                   sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)::BIGINT AS error_count,
+                   sum(duration_ms)::BIGINT AS total_duration_ms,
                    round(avg(duration_ms), 4) AS mean_duration_ms,
                    min(duration_ms) AS min_duration_ms,
                    max(duration_ms) AS max_duration_ms,
@@ -980,8 +980,8 @@ def oracle_sql() -> dict[str, str]:
                     unnest(range(8)) AS i)
             )
             SELECT d.service_tier, count(*) AS trace_count,
-                   sum(t.span_count) AS span_count,
-                   sum(CASE WHEN t.has_error THEN 1 ELSE 0 END) AS error_traces
+                   sum(t.span_count)::BIGINT AS span_count,
+                   sum(CASE WHEN t.has_error THEN 1 ELSE 0 END)::BIGINT AS error_traces
             FROM summaries t JOIN dim d ON t.service_name = d.s
             GROUP BY 1 ORDER BY 1
         """,
@@ -997,7 +997,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(min(ts)) AS min_ts_ms,
                    epoch_ms(max(ts)) AS max_ts_ms,
                    round(max(value), 6) AS max_value,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error_count,
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types_csv
             FROM events GROUP BY 1
         """,
@@ -1028,8 +1028,8 @@ def oracle_sql() -> dict[str, str]:
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
             ),
             sess AS (
-              SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              SELECT *, (sum(newf) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
               FROM marked
             )
             SELECT user_id, session_idx, count(*) AS n_events,
@@ -1176,13 +1176,13 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, corpus_id ASC) AS rank
               FROM scored
             )
-            SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+            SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
             FROM ranked WHERE rank <= 5
         """,
         "text_stats": f"""
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END)::INT AS n_words,
                    (WITH w AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws)
                     SELECT CASE
                       WHEN greatest(r_en, r_de, r_fr, r_es) = 0 THEN 'und'
@@ -1207,7 +1207,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END)::INT AS n_words,
                    round(list_sum(list_transform(ws, x -> length(x)))
                          / greatest(len(ws), 1)::DOUBLE, 6) AS mean_word_len,
                    round(length(regexp_replace(text, '[^0-9]', '', 'g'))

@@ -38,6 +38,54 @@ def canon(v) -> str:
     return str(v)
 
 
+_SPARK_TO_CANON = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "binary": "binary",
+}
+
+
+def spark_canon_types(sdf) -> dict[str, str]:
+    out = {}
+    for f in sdf.schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            out[f.name] = "decimal"
+        elif s.startswith(("array", "map", "struct")):
+            out[f.name] = s.split("<")[0]
+        else:
+            out[f.name] = _SPARK_TO_CANON.get(s, s)
+    return out
+
+
+def arrow_canon_types(tbl) -> dict[str, str]:
+    import pyarrow as pa
+
+    out = {}
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            out[field.name] = "decimal"
+        elif pa.types.is_timestamp(t):
+            out[field.name] = "timestamp"
+        elif pa.types.is_date(t):
+            out[field.name] = "date"
+        elif pa.types.is_large_string(t) or pa.types.is_string(t):
+            out[field.name] = "string"
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            out[field.name] = "array"
+        elif pa.types.is_boolean(t):
+            out[field.name] = "bool"
+        elif pa.types.is_float64(t):
+            out[field.name] = "float64"
+        elif pa.types.is_float32(t):
+            out[field.name] = "float32"
+        else:
+            out[field.name] = str(t)
+    return out
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
@@ -70,6 +118,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = spark_canon_types(sdf)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
@@ -81,13 +130,19 @@ def main() -> int:
             continue
         try:
             res = con.execute(os_[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            atbl = res.fetch_arrow_table()
+            ocols = atbl.schema.names
+            otypes = arrow_canon_types(atbl)
+            orows = [tuple(r.values()) for r in atbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             failures.append(name)
             continue
         problems = []
+        tmis = {c: (stypes[c], otypes[c]) for c in stypes
+                if c in otypes and stypes[c] != otypes[c]}
+        if tmis:
+            problems.append(f"type mismatch {tmis}")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
