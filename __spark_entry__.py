@@ -1051,7 +1051,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k.service_name, k.operation_name, count(*) AS cnt
             FROM keyed k
-            WHERE NOT EXISTS (
+            WHERE k.duration_ms > 60000  -- long spans always pass through
+               OR NOT EXISTS (
               SELECT 1 FROM surviving s
               WHERE s.service_name = k.service_name AND s.op_type = k.op_type
                 AND s.norm_statement = k.norm_statement

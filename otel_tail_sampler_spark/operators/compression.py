@@ -64,7 +64,6 @@ def operation_type(cfg: CompressionConfig) -> Column:
 
     Requires columns: operation_name, optionally attributes (map).
     """
-    has_attrs = True  # guarded by caller passing a df with attributes or not
     db_operation = F.col("attributes").getItem("db.operation")
     db_system = F.col("attributes").getItem("db.system")
     db_statement = F.col("attributes").getItem("db.statement")
@@ -153,19 +152,27 @@ def compress_spans(spans: DataFrame, cfg: CompressionConfig | None = None) -> di
         )
     )
 
-    # A5 remainder: anti-join on the recomputed key (same expressions both
-    # sides) — spans of non-surviving groups, plus never-compressible long
-    # spans, pass through unchanged
+    # A5 remainder: anti-join the COMPRESSIBLE subset on the recomputed key
+    # (same expressions both sides). Long spans (duration > max) never joined
+    # a group, so they must pass through unconditionally even when their key
+    # matches a surviving group (span_compression.rs:371-397 computes the
+    # remainder by compressed span_ids, which has the same property).
     surviving_keys = groups.select(
         *[F.col(c).alias(f"_k_{c}") for c in key]
     )
-    passthrough = keyed.join(
+    remainder = compressible.join(
         surviving_keys,
         on=[
             F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key
         ],  # null-safe: parent_span_id is null for roots
         how="left_anti",
-    ).drop("op_type", "norm_statement")
+    )
+    long_spans = keyed.filter(
+        F.col("duration_ms") > F.lit(cfg.max_span_duration_ms)
+    )
+    passthrough = remainder.unionByName(long_spans).drop(
+        "op_type", "norm_statement"
+    )
     return {"compressed": groups, "passthrough": passthrough}
 
 

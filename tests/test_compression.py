@@ -124,3 +124,23 @@ def test_pattern_table_rewrite(fixture_spans):
     out = compress_spans(fixture_spans, cfg)
     ops = {r["op_type"] for r in out["compressed"].collect()}
     assert "user-queries" in ops
+
+
+def test_span_conservation_long_span_in_surviving_group(spark):
+    """3 fast + 1 long span sharing one normalized statement: the fast ones
+    compress, the long one must still pass through (span_compression.rs:371-397
+    computes the remainder from compressed span_ids, so long spans are never
+    swallowed by a surviving group that shares their key)."""
+    rows = [
+        _sql_span("s1", "SELECT * FROM t WHERE id = 1", 10),
+        _sql_span("s2", "SELECT * FROM t WHERE id = 2", 15),
+        _sql_span("s3", "SELECT * FROM t WHERE id = 3", 20),
+        _sql_span("s4", "SELECT * FROM t WHERE id = 4", 70_000),  # long
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = compress_spans(df, CompressionConfig(min_compression_count=3))
+    comp = out["compressed"].collect()
+    assert len(comp) == 1 and comp[0]["span_count"] == 3
+    assert sorted(comp[0]["original_span_ids"]) == ["s1", "s2", "s3"]
+    passthrough_ids = {r["span_id"] for r in out["passthrough"].collect()}
+    assert passthrough_ids == {"s4"}  # conservation: s4 in exactly one output
