@@ -306,16 +306,32 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
-    a = sh.select(F.col("sh"), F.col(id_col).alias("id_a"))
-    b = sh.select(F.col("sh"), F.col(id_col).alias("id_b"))
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "semi")
+        # candidates-FIRST: drive the intersection from the pair list, never
+        # self-joining the shingle table. cand × shingles(id_a) expands each
+        # pair by its left doc's shingle set, then an equi-join on
+        # (id_b, sh) keeps only shingles the right doc shares. The quadratic
+        # all-pairs stage never exists in this plan; cost is
+        # O(|candidates| · avg_shingles), and the small pair list is
+        # broadcast-able by AQE.
+        cand = candidates.select("id_a", "id_b")
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.select(F.col("sh"), F.col(id_col).alias("id_a"))
+        b = sh.select(F.col("sh"), F.col(id_col).alias("id_b"))
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

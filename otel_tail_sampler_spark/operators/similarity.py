@@ -144,14 +144,25 @@ def ivf_topk(
     (centroids are literals — broadcast-free), the probe join is on the
     cluster id (shuffle bounded by candidate volume ~ nprobe/n_clusters of the
     corpus), and recall grows with nprobe. Train sample is collected once."""
+    # seeded RANDOM sample (limit() would take the first partitions only —
+    # on a clustered/sorted corpus the centroids would learn one shard's
+    # distribution). Oversample the fraction so the post-sample limit is a
+    # trim, not a truncation of one partition.
+    n_corpus = corpus.count()
+    fraction = min(1.0, (train_sample * 1.3) / max(n_corpus, 1))
     sample = np.array(
         [
             r[0]
-            for r in corpus.select(corpus_vec).limit(train_sample).collect()
+            for r in corpus.select(corpus_vec)
+            .sample(fraction=fraction, seed=seed)
+            .limit(train_sample)
+            .collect()
         ],
         dtype=np.float64,
     )
-    cents = ivf_centroids(sample, n_clusters, seed=seed)
+    cents = ivf_centroids(
+        sample, n_clusters=min(n_clusters, len(sample)), seed=seed
+    )
 
     c = corpus.select(
         F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv")

@@ -101,11 +101,42 @@ def run_resumable(
 
         traces = apply_force_rules(traces, good, force_rules)
     decided = decide(traces, cfg)
-    routed = route_spans(spans, decided)
+    # persist ONLY the slim decision projection (mirrors pipeline.py): the
+    # route join build side and the trace count reuse it without recomputing
+    # parse + assembly
+    slim_cols = ["trace_id", "decision", "decision_policy"]
+    if "trace_k1" in decided.columns:
+        slim_cols = ["trace_k1", "trace_k2"] + slim_cols
+    decisions = decided.select(*slim_cols).persist()
+    routed = route_spans(spans, decisions)
 
-    # single pass over routed: per-(bucket, stage-ish) lineage counts
+    # idempotent sink commit FIRST — the single full pass over the data.
+    # Dynamic partition overwrite is the correctness contract here: with
+    # Spark's default static mode, mode('overwrite') would delete previously
+    # committed bucket partitions on resume while the manifest still marks
+    # them done. Pin it for this write regardless of the caller's session.
+    ow_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev_ow = spark.conf.get(ow_key)
+    except Exception:
+        prev_ow = None
+    spark.conf.set(ow_key, "dynamic")
+    try:
+        (
+            routed.write.mode("overwrite")
+            .partitionBy("bucket", "decision")
+            .parquet(routed_dir)
+        )
+    finally:
+        if prev_ow is not None:
+            spark.conf.set(ow_key, prev_ow)
+
+    # lineage counts from the WRITTEN data (partition-pruned read-back of
+    # this run's buckets) — no second pass over the input
     counts = (
-        routed.groupBy("bucket", "decision")
+        spark.read.parquet(routed_dir)
+        .filter(F.col("bucket").isin([int(b) for b in remaining]))
+        .groupBy("bucket", "decision")
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     )
@@ -117,14 +148,8 @@ def run_resumable(
         )
         per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["rows"]
     stage_metrics["input_rows"] = sum(per_bucket.values())
-    stage_metrics["traces"] = decided.count()
-
-    # idempotent sink commit (dynamic partition overwrite per bucket)
-    (
-        routed.write.mode("overwrite")
-        .partitionBy("bucket", "decision")
-        .parquet(routed_dir)
-    )
+    stage_metrics["traces"] = decisions.count()
+    decisions.unpersist()
 
     # manifest append AFTER data commit
     now_ms = int(time.time() * 1000)

@@ -83,3 +83,43 @@ def test_bucket_is_trace_aligned(spark, small_dataset):
         .count()
     )
     assert multi == 0
+
+
+def test_resume_preserves_prior_buckets_under_static_overwrite(
+    spark, small_dataset, tmp_path
+):
+    """Resume with earlier buckets' parquet data already on disk, on a session
+    whose partitionOverwriteMode is the Spark default (static): the resumed
+    write must NOT delete previously committed bucket partitions —
+    run_resumable pins dynamic mode itself rather than trusting the caller."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    run_resumable(spark, small_dataset["tokenized"], out, n_buckets=N_BUCKETS)
+    want = _routed_counts(out)
+
+    # forge a crash: manifest says only 0-3 done, but ALL bucket data exists
+    shutil.rmtree(f"{out}/_checkpoint")
+    fake_done = [(b, "done", 0, 0) for b in range(4)]
+    spark.createDataFrame(fake_done, MANIFEST_SCHEMA).write.mode("append").parquet(
+        f"{out}/_checkpoint"
+    )
+
+    ow_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(ow_key)
+    spark.conf.set(ow_key, "static")
+    try:
+        r = run_resumable(spark, small_dataset["tokenized"], out, n_buckets=N_BUCKETS)
+        assert spark.conf.get(ow_key) == "static"  # caller's setting restored
+    finally:
+        spark.conf.set(ow_key, prev)
+    assert r.processed_buckets == [4, 5, 6, 7]
+    # ALL buckets still on disk, totals identical to the uninterrupted run
+    got_buckets = set(
+        row[0]
+        for row in duckdb.sql(
+            f"select distinct bucket from parquet_scan('{out}/routed/*/*/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    )
+    assert got_buckets == set(range(N_BUCKETS))
+    assert _routed_counts(out) == want

@@ -227,3 +227,36 @@ def test_ivf_topk_recall(spark, emb, queries):
     # deterministic
     again = S.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=3).toPandas()
     assert approx.equals(again)
+
+
+def test_ngram_jaccard_candidates_first(spark, docs):
+    """Candidates path: (1) equal scores to the quadratic path restricted to
+    the candidate pairs; (2) plan proof the shingle self-join never exists —
+    every join on the shingle column also keys on a doc id."""
+    import re
+
+    sub = docs.limit(40)
+    cand = D.minhash_lsh_pairs(sub, num_hashes=12, bands=6).select("id_a", "id_b")
+    fast = D.ngram_jaccard_pairs(sub, threshold=0.0, candidates=cand)
+    slow_all = D.ngram_jaccard_pairs(sub, threshold=0.0)
+    slow = slow_all.join(cand, ["id_a", "id_b"], "semi")
+
+    f = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in fast.collect()}
+    s = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in slow.collect()}
+    # fast path may drop zero-intersection candidates (jaccard 0); others equal
+    assert {k: v for k, v in s.items() if v > 0} == {k: v for k, v in f.items() if v > 0}
+
+    def shingle_selfjoins_without_id_equality(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        out = []
+        for cond in re.findall(r"Join \w+, \((.*)\)\n", plan):
+            if re.search(r"sh#\d+ = sh#\d+", cond) and not re.search(
+                r"id_[ab]#\d+L? = id_[ab]#\d+L?", cond
+            ):
+                out.append(cond)
+        return out
+
+    # the quadratic path HAS a shingle self-join (sanity: detector works) …
+    assert shingle_selfjoins_without_id_equality(slow_all)
+    # … the candidates-first path must not
+    assert not shingle_selfjoins_without_id_equality(fast)
