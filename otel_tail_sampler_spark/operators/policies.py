@@ -277,39 +277,58 @@ def decide(traces: DataFrame, cfg: SamplerConfig) -> DataFrame:
     return out
 
 
-def apply_rate_limit(decided: DataFrame, key: str, limit: int) -> DataFrame:
+def apply_rate_limit(
+    decided: DataFrame, key: str, limit: int, salt_buckets: int = 64
+) -> DataFrame:
     """D8: among kept traces, keep at most ``limit`` per key; excess ->
-    decision='overflow'. Deterministic uniform selection: rank kept traces per
-    key by hash(trace_id).
+    decision='overflow'. Deterministic uniform selection: the ``limit``
+    smallest md5(trace_id||'rate_limit') per key survive (md5-hex ordering,
+    not xxhash64, keeps the selection engine-portable).
 
-    Batch analog of the reference's token bucket (state.rs:629-682). The
-    window shuffles by ``key`` (low cardinality => potentially skewed), but it
-    only runs over *kept* traces — a small fraction of the trace table — and
-    the rank never materializes per-span data, so it holds at scale. For very
-    hot keys, AQE splits the skewed partitions of this exchange.
+    Batch analog of the reference's token bucket (state.rs:629-682),
+    implemented as a TWO-LEVEL limit so no single task ever sees a whole hot
+    key (a window over a bare low-cardinality key funnels every kept trace of
+    a hot service through one task forever — AQE skew handling applies to
+    joins/aggregations, not windows):
+
+    1. salt level: rank within (key, salt=xxhash64(trace_id)%salt_buckets).
+       A trace ranked > limit inside ANY salt bucket already has ``limit``
+       same-key traces with smaller md5, so it is provably outside the global
+       top-``limit`` — eliminated without ever co-locating the full key.
+    2. exact level: the survivors (<= limit * salt_buckets per key) get the
+       global per-key rank. Input to this window is bounded by the limit, not
+       by the key's row count, so the single-task stage is O(limit * buckets).
+
+    The two stages share one exchange (the salted shuffle is reused across
+    branches); the result is exactly the global top-``limit`` selection and
+    is independent of partitioning.
     """
-    # partition by (key, decision) so the rank counts kept traces only;
-    # md5-hex ordering (not xxhash64) keeps the selection engine-portable
-    w = Window.partitionBy(key, "decision").orderBy(
-        F.md5(F.concat_ws("|", F.col("trace_id"), F.lit("rate_limit"))),
-        F.col("trace_id"),
+    ordv = F.md5(F.concat_ws("|", F.col("trace_id"), F.lit("rate_limit")))
+    aux = ["_rl_salt", "_r1", "_r2"]
+
+    kept = decided.filter(F.col("decision") == KEEP)
+    others = decided.filter(F.col("decision") != KEEP)
+
+    w1 = Window.partitionBy(key, "_rl_salt").orderBy(ordv, F.col("trace_id"))
+    lvl1 = kept.withColumn(
+        "_rl_salt", F.pmod(F.xxhash64("trace_id"), F.lit(salt_buckets))
+    ).withColumn("_r1", F.row_number().over(w1))
+
+    w2 = Window.partitionBy(key).orderBy(ordv, F.col("trace_id"))
+    ranked = lvl1.filter(F.col("_r1") <= limit).withColumn(
+        "_r2", F.row_number().over(w2)
     )
-    rn = F.when(
-        F.col("decision") == KEEP, F.row_number().over(w)
-    )
-    return (
-        decided.withColumn("_rl_rank", rn)
+
+    kept_final = ranked.filter(F.col("_r2") <= limit).drop(*aux)
+    overflow = (
+        lvl1.filter(F.col("_r1") > limit)
+        .drop(*aux)
+        .unionByName(ranked.filter(F.col("_r2") > limit).drop(*aux))
         .withColumns(
             {
-                "decision": F.when(
-                    (F.col("decision") == KEEP) & (F.col("_rl_rank") > limit),
-                    F.lit("overflow"),
-                ).otherwise(F.col("decision")),
-                "decision_policy": F.when(
-                    (F.col("decision") == KEEP) & (F.col("_rl_rank") > limit),
-                    F.lit("rate_limit"),
-                ).otherwise(F.col("decision_policy")),
+                "decision": F.lit("overflow"),
+                "decision_policy": F.lit("rate_limit"),
             }
         )
-        .drop("_rl_rank")
     )
+    return kept_final.unionByName(overflow).unionByName(others)

@@ -199,3 +199,52 @@ def test_rate_limit_per_key(spark):
         for r in decide(df, cfg).filter(F.col("decision") == "overflow").collect()
     )
     assert a == b
+
+
+def test_rate_limit_two_level_exact_and_plan_shape(spark):
+    """The two-level limit must (1) select exactly the global per-key
+    top-``limit`` by md5 order regardless of salt_buckets, and (2) never run
+    an unsalted window over the raw kept set: the only window partitioned by
+    the bare key sits above the _r1 <= limit filter (bounded input)."""
+    import re
+
+    from otel_tail_sampler_spark.operators.policies import apply_rate_limit
+
+    rows = [_row(f"T{i:03d}", err=True, errs=1) for i in range(60)]
+    df = _summary_df(spark, rows).withColumns(
+        {
+            "decision": F.lit("keep"),
+            "decision_policy": F.lit("error_sampling"),
+        }
+    )
+    # brute-force expected winners: 7 smallest md5(trace_id||'rate_limit')
+    got_sets = []
+    for buckets in (1, 4, 64):
+        out = apply_rate_limit(df, "service_name", 7, salt_buckets=buckets)
+        got_sets.append(
+            frozenset(
+                r["trace_id"]
+                for r in out.filter(F.col("decision") == "keep").collect()
+            )
+        )
+        assert out.filter(F.col("decision") == "overflow").count() == 53
+    assert len(set(got_sets)) == 1  # partitioning-independent selection
+
+    import hashlib
+
+    want = frozenset(
+        sorted(
+            (f"T{i:03d}" for i in range(60)),
+            key=lambda t: hashlib.md5(f"{t}|rate_limit".encode()).hexdigest(),
+        )[:7]
+    )
+    assert got_sets[0] == want
+
+    plan = apply_rate_limit(df, "service_name", 7)._jdf.queryExecution().optimizedPlan().toString()
+    # every Window partitioned by the bare key (no salt) must come after the
+    # level-1 cap filter; the salted window has no such requirement
+    blocks = plan.split("Window ")
+    for blk in blocks[1:]:
+        spec = blk.split("\n")[0]
+        if "_rl_salt" not in spec:
+            assert re.search(r"_r1#\d+ <= 7", blk), f"unsalted window w/o cap:\n{blk[:400]}"
