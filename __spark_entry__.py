@@ -222,6 +222,79 @@ def q_error_short_circuit(spark, sf_dir):
     )
 
 
+# D4 configurable-condition AST exercised end-to-end (policies.rs:434-572):
+# and/or/not nesting, service prefix + regex matchers, duration_range,
+# operation suffix (EXISTS over the trace's distinct operations), hash gate.
+CONFIGURABLE_CONDS = (
+    {
+        "type": "and",
+        "conditions": [
+            {"type": "error"},
+            {"type": "service", "match": "prefix", "value": "payment"},
+        ],
+    },
+    {
+        "type": "or",
+        "conditions": [
+            {"type": "duration_range", "min_ms": 3000, "max_ms": 8000},
+            {"type": "operation", "match": "suffix", "value": "/GetUser"},
+        ],
+    },
+    {
+        "type": "not",
+        "condition": {"type": "service", "match": "regex", "value": "^(api|user)-"},
+    },
+)
+
+
+def q_configurable_policy(spark, sf_dir):
+    """D4: ConfigurablePolicy AST compiled to column algebra; per-trace keep."""
+    from otel_tail_sampler_spark.operators.policies import ConfigurablePolicy
+
+    pol = ConfigurablePolicy(
+        name="configurable", conditions=CONFIGURABLE_CONDS, sample_rate=0.35
+    )
+    return _traces(spark, sf_dir).select(
+        "trace_id", pol.keep_expr().alias("keep")
+    )
+
+
+def _d5_cfg(strategy: str, threshold: float = 0.5) -> SamplerConfig:
+    from otel_tail_sampler_spark.operators.policies import ProbabilisticPolicy
+
+    return SamplerConfig(
+        error=ErrorPolicy(sample_rate=0.9),
+        latency=LatencyPolicy(threshold_ms=2000, sample_rate=1.0),
+        cardinality=CardinalityPolicy(max_span_count=4),
+        extra_policies=(ProbabilisticPolicy(sample_rate=0.5),),
+        strategy=strategy,
+        consensus_threshold=threshold,
+    )
+
+
+def _q_combine(spark, sf_dir, strategy: str, threshold: float = 0.5):
+    from otel_tail_sampler_spark.operators.policies import decide
+
+    d = decide(_traces(spark, sf_dir), _d5_cfg(strategy, threshold))
+    return d.select("trace_id", "decision", "decision_policy")
+
+
+def q_combine_all_match(spark, sf_dir):
+    """D5 all_match: keep iff every policy keeps (policies.rs:592-601)."""
+    return _q_combine(spark, sf_dir, "all_match")
+
+
+def q_combine_consensus(spark, sf_dir):
+    """D5 consensus: keep iff >= threshold fraction of policies keep
+    (policies.rs:602-611)."""
+    return _q_combine(spark, sf_dir, "consensus", 0.75)
+
+
+def q_combine_priority(spark, sf_dir):
+    """D5 priority: first keeping policy wins attribution (policies.rs:612-627)."""
+    return _q_combine(spark, sf_dir, "priority")
+
+
 def q_slowest_traces(spark, sf_dir):
     """T1: top-20 by max_duration_ms (deterministic tiebreak trace_id)."""
     from otel_tail_sampler_spark.plans.analytics import slowest_traces
@@ -674,6 +747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_keep_rows": q_routed_keep_rows,
         "rate_limit_overflow": q_rate_limit_overflow,
         "error_short_circuit": q_error_short_circuit,
+        "configurable_policy": q_configurable_policy,
+        "combine_all_match": q_combine_all_match,
+        "combine_consensus": q_combine_consensus,
+        "combine_priority": q_combine_priority,
         "slowest_traces": q_slowest_traces,
         "error_traces_recent": q_error_traces_recent,
         "span_service_stats": q_span_service_stats,
@@ -811,6 +888,41 @@ def _shingle_sql(n: int = 3) -> str:
     )
 
 
+def _d5_oracle_select(strategy: str) -> str:
+    """DuckDB replica of the D5 combiner over the _d5_cfg policy set:
+    error@0.9, latency>2000@1.0, cardinality>4 (always true at span_count=5),
+    probabilistic@0.5. Attribution = first firing policy in config order."""
+    flags = f"""
+    , d5 AS (
+      SELECT trace_id,
+        (has_error AND {_hfrac_sql('trace_id', 'error_sampling')} < 0.9) AS f_err,
+        (max_duration_ms > 2000) AS f_lat,
+        (span_count > 4) AS f_card,
+        ({_hfrac_sql('trace_id', 'probabilistic_sampling')} < 0.5) AS f_prob
+      FROM summaries
+    )"""
+    if strategy == "all_match":
+        keep = "f_err AND f_lat AND f_card AND f_prob"
+    elif strategy == "consensus":
+        keep = (
+            "(f_err::INT + f_lat::INT + f_card::INT + f_prob::INT) / 4.0 >= 0.75"
+        )
+    else:  # priority == any_match keep set, first-win attribution
+        keep = "f_err OR f_lat OR f_card OR f_prob"
+    return f"""
+    {flags}
+    SELECT trace_id,
+           CASE WHEN {keep} THEN 'keep' ELSE 'drop' END AS decision,
+           CASE WHEN {keep} THEN
+             CASE WHEN f_err THEN 'error_sampling'
+                  WHEN f_lat THEN 'latency_sampling'
+                  WHEN f_card THEN 'cardinality_sampling'
+                  WHEN f_prob THEN 'probabilistic_sampling' END
+           ELSE 'no_policy_matched' END AS decision_policy
+    FROM d5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     paths = _oracle_paths()
     sp = paths["oracle"]
@@ -926,6 +1038,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS trace_count
             FROM decided GROUP BY 1, 2
         """,
+        "configurable_policy": S
+        + f"""
+            , ops AS (
+              SELECT trace_id,
+                     max(CASE WHEN operation_name LIKE '%/GetUser'
+                         THEN 1 ELSE 0 END) = 1 AS has_getuser
+              FROM '{sp}' GROUP BY 1
+            )
+            SELECT s.trace_id,
+                   (((s.has_error AND s.service_name LIKE 'payment%')
+                     OR ((s.max_duration_ms >= 3000 AND s.max_duration_ms <= 8000)
+                         OR o.has_getuser)
+                     OR NOT regexp_matches(s.service_name, '^(api|user)-'))
+                    AND {_hfrac_sql('s.trace_id', 'configurable')} < 0.35) AS keep
+            FROM summaries s JOIN ops o USING (trace_id)
+        """,
+        "combine_all_match": S
+        + _d5_oracle_select("all_match"),
+        "combine_consensus": S
+        + _d5_oracle_select("consensus"),
+        "combine_priority": S
+        + _d5_oracle_select("priority"),
         "slowest_traces": S
         + """
             SELECT trace_id, service_name, max_duration_ms, span_count
