@@ -814,15 +814,17 @@ def q_ivf_topk_approx(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction plumbing (stubbed decode kernel)."""
+    """REAL multimodal decode kernels (pure-numpy PPM/WAV/VID0): stats of the
+    DECODED payloads; oracle = ground truth computed on the raw arrays BEFORE
+    encoding (decode must invert encode)."""
     from otel_tail_sampler_spark.operators.multimodal import (
-        extract_features,
+        ensure_media_truth,
+        media_stats,
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, n=64), dim=8).select(
-        "media_id", "kind", "feat_dim", "payload_bytes", "payload_crc"
-    )
+    ensure_media_truth(n=64, seed=42)  # oracle side reads this parquet
+    return media_stats(synthetic_media(spark, n=64, seed=42))
 
 
 # --------------------------------------------------------------------------
@@ -924,9 +926,12 @@ def _d5_oracle_select(strategy: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from otel_tail_sampler_spark.operators.multimodal import ensure_media_truth
+
     paths = _oracle_paths()
     sp = paths["oracle"]
     S = _summaries_cte(sp)
+    media_truth = ensure_media_truth(n=64, seed=42)
 
     stop = {k: ", ".join(f"'{w}'" for w in v) for k, v in
             __import__("otel_tail_sampler_spark.operators.text", fromlist=["STOPWORDS"]).STOPWORDS.items()}
@@ -1334,6 +1339,11 @@ def oracle_sql() -> dict[str, str]:
                    ) AS lang_guess,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
             FROM documents
+        """,
+        "multimodal_features": f"""
+            SELECT media_id, kind, width, height, n_frames, sample_rate,
+                   n_samples, px_sum, px_min, px_max
+            FROM '{media_truth}'
         """,
         "doc_quality": f"""
             WITH w AS (

@@ -1,23 +1,34 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + REAL kernels.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas stages over ``mapInPandas``. The decode kernels are
-STUBBED (the container has no image/audio libs): ``decode_fn`` defaults to a
-clearly-marked deterministic fake, and passing ``real=True`` raises
-NotImplementedError where a real libjpeg/ffmpeg call would go. The Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real and
-tested.
+Arrow-batched pandas stages over ``mapInPandas``.
+
+Two kernel tiers:
+
+* REAL (default for the uncompressed formats below): pure-numpy codecs that
+  need no external libs — PPM P6 images (netpbm spec), RIFF/WAVE PCM16 mono
+  audio, and a minimal length-prefixed video container of PPM frames
+  (``VID0`` magic + u32 frame count + per-frame u32 length + PPM bytes).
+  Decode inverts encode bit-exactly, so features are checkable against a
+  ground-truth table computed BEFORE encoding (the property oracle: the
+  decode stage must invert the encode stage).
+* FAKE (``codec='fake-*'`` payloads or ``real=False`` paths): deterministic
+  sha256-seeded pseudo-features standing in for libjpeg/ffmpeg codecs that
+  are not installed here. Honestly labeled; plumbing identical.
 
 Scale notes: payload columns are wide, so every transform here keeps the
 binary column OUT of shuffles (mapInPandas is narrow); metadata-only plans
 should select struct fields so Parquet column pruning drops the payload read
-entirely.
+entirely. Batches arrive as pandas DataFrames sized by
+spark.sql.execution.arrow.maxRecordsPerBatch — kernels are per-row loops in
+numpy over those batches, never per-row Python UDF calls.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from typing import Iterator
 
@@ -37,13 +48,182 @@ FEATURE_DDL = (
     "payload_bytes int, payload_crc long"
 )
 
-RESIZE_DDL = "media_id string, kind string, out_width int, out_height int, payload_crc long"
+RESIZE_DDL = (
+    "media_id string, kind string, out_width int, out_height int, payload_crc long"
+)
 
 FRAME_SAMPLE_DDL = "media_id string, frame_idx int, frame_crc long"
 
+# flat, integer-exact stats of the DECODED payload (oracle-checkable against
+# the pre-encode ground truth; every value fits exactly in its type)
+STATS_DDL = (
+    "media_id string, kind string, width int, height int, n_frames int, "
+    "sample_rate int, n_samples long, px_sum long, px_min int, px_max int"
+)
 
-def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic opaque payloads standing in for real image/video bytes."""
+
+# --- pure-numpy codecs (public formats: netpbm PPM, RIFF/WAVE PCM) -----------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """P6 binary PPM: ``P6\\n{w} {h}\\n255\\n`` + raw RGB rows."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Decode P6 (handles comment lines per the netpbm spec)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = w * h * 3
+    return np.frombuffer(b, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal RIFF/WAVE, PCM16 mono, little-endian."""
+    assert samples.dtype == np.int16
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """-> (int16 samples, sample_rate). Walks RIFF chunks (fmt then data)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """``VID0`` + u32 n_frames + per-frame (u32 length + PPM bytes)."""
+    out = [b"VID0", struct.pack("<I", len(frames))]
+    for fr in frames:
+        p = encode_ppm(fr)
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_video(b: bytes) -> list[np.ndarray]:
+    if b[:4] != b"VID0":
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack("<I", b[4:8])
+    pos, frames = 8, []
+    for _ in range(n):
+        (size,) = struct.unpack("<I", b[pos : pos + 4])
+        frames.append(decode_ppm(b[pos + 4 : pos + 4 + size]))
+        pos += 4 + size
+    return frames
+
+
+def _decoded_stats(kind: str, payload: bytes) -> dict:
+    """Integer-exact stats of the decoded payload (the oracle contract)."""
+    if kind == "image":
+        arr = decode_ppm(payload)
+        return dict(
+            width=arr.shape[1], height=arr.shape[0], n_frames=1, sample_rate=None,
+            n_samples=int(arr.size), px_sum=int(arr.sum(dtype=np.int64)),
+            px_min=int(arr.min()), px_max=int(arr.max()),
+        )
+    if kind == "audio":
+        samples, rate = decode_wav(payload)
+        return dict(
+            width=None, height=None, n_frames=None, sample_rate=rate,
+            n_samples=int(samples.size), px_sum=int(samples.sum(dtype=np.int64)),
+            px_min=int(samples.min()), px_max=int(samples.max()),
+        )
+    if kind == "video":
+        frames = decode_video(payload)
+        stack = np.stack(frames)
+        return dict(
+            width=stack.shape[2], height=stack.shape[1], n_frames=len(frames),
+            sample_rate=None, n_samples=int(stack.size),
+            px_sum=int(stack.sum(dtype=np.int64)),
+            px_min=int(stack.min()), px_max=int(stack.max()),
+        )
+    raise ValueError(f"unknown kind {kind}")
+
+
+# --- synthetic media ----------------------------------------------------------
+
+
+def _gen_one(i: int, seed: int) -> tuple:
+    """Deterministic (media_row, truth_row) pair. Truth stats are computed on
+    the RAW arrays before encoding — the decode stage must invert encode to
+    reproduce them."""
+    rng = np.random.Generator(np.random.PCG64((seed << 20) + i))
+    kind = ["image", "audio", "video"][i % 3]
+    mid = f"m-{i:04d}"
+    if kind == "image":
+        w, h = 32 + 8 * (i % 4), 24 + 8 * (i % 3)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_ppm(arr)
+        meta = (w, h, 1, None, "ppm")
+        truth = (mid, kind, w, h, 1, None, int(arr.size),
+                 int(arr.sum(dtype=np.int64)), int(arr.min()), int(arr.max()))
+    elif kind == "audio":
+        rate, n = 16000, 1000 + 100 * (i % 7)
+        samples = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+        payload = encode_wav(samples, rate)
+        meta = (None, None, None, rate, "pcm16")
+        truth = (mid, kind, None, None, None, rate, n,
+                 int(samples.sum(dtype=np.int64)),
+                 int(samples.min()), int(samples.max()))
+    else:
+        w, h, nf = 16, 12, 4 + i % 5
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+        payload = encode_video(frames)
+        stack = np.stack(frames)
+        meta = (w, h, nf, None, "vid0-ppm")
+        truth = (mid, kind, w, h, nf, None, int(stack.size),
+                 int(stack.sum(dtype=np.int64)),
+                 int(stack.min()), int(stack.max()))
+    return (mid, kind, bytearray(payload), meta), truth
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 64, seed: int = 42, real: bool = True
+) -> DataFrame:
+    """Deterministic media table. ``real=True`` (default) emits valid
+    PPM/WAV/VID0 payloads the real kernels decode; ``real=False`` keeps the
+    round-1 opaque random payloads for plumbing tests of the fake path."""
+    if real:
+        rows = [_gen_one(i, seed)[0] for i in range(n)]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     kinds = ["image", "audio", "video"]
@@ -61,26 +241,100 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+TRUTH_COLUMNS = [
+    "media_id", "kind", "width", "height", "n_frames", "sample_rate",
+    "n_samples", "px_sum", "px_min", "px_max",
+]
+
+
+def ensure_media_truth(n: int = 64, seed: int = 42) -> str:
+    """Write (once) the pre-encode ground-truth stats parquet; returns path.
+    DuckDB reads this as the multimodal oracle."""
+    import os
+
+    from otel_tail_sampler_spark.sources.generator import DATA_ROOT
+
+    path = os.path.join(DATA_ROOT, f"media_truth_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(DATA_ROOT, exist_ok=True)
+        truths = [_gen_one(i, seed)[1] for i in range(n)]
+        pdf = pd.DataFrame(truths, columns=TRUTH_COLUMNS)
+        for c in ("width", "height", "n_frames", "sample_rate", "px_min", "px_max"):
+            pdf[c] = pdf[c].astype("Int32")
+        for c in ("n_samples", "px_sum"):
+            pdf[c] = pdf[c].astype("int64")
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+# --- kernels over mapInPandas ---------------------------------------------------
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: payload -> integer-exact stats (STATS_DDL).
+    Arrow-batched; payload bytes never shuffle (narrow stage)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"media_id": m, "kind": k, **_decoded_stats(k, bytes(p))}
+                for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)[TRUTH_COLUMNS]
+
+    return media.mapInPandas(fn, STATS_DDL)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake 'decode+embed': sha256-seeded pseudo-features.
-    A real implementation would decode via PIL/ffmpeg — NOT available here."""
+    Stands in for learned-embedding codecs (NOT available here)."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16, real: bool = False) -> DataFrame:
+def _real_features(kind: str, payload: bytes, dim: int) -> np.ndarray:
+    """Real decode -> fixed-dim feature vector: normalized 8-bin histogram of
+    the decoded signal plus [mean/255, (max-min)/255], tiled/truncated to
+    ``dim``. Deterministic, scale-free, no external libs."""
+    if kind == "image":
+        sig = decode_ppm(payload).ravel().astype(np.float64)
+        lo, hi = 0.0, 255.0
+    elif kind == "audio":
+        sig = decode_wav(payload)[0].astype(np.float64)
+        lo, hi = -32768.0, 32767.0
+    else:
+        sig = np.stack(decode_video(payload)).ravel().astype(np.float64)
+        lo, hi = 0.0, 255.0
+    hist, _ = np.histogram(sig, bins=8, range=(lo, hi))
+    base = np.concatenate(
+        [
+            hist / max(sig.size, 1),
+            [sig.mean() / hi if hi else 0.0, (sig.max() - sig.min()) / (hi - lo)],
+        ]
+    )
+    reps = int(np.ceil(dim / base.size))
+    return np.tile(base, reps)[:dim].astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 16, real: bool = True) -> DataFrame:
     """payload -> feature vector via Arrow-batched mapInPandas (batch shape:
-    pandas DataFrames of full rows; payload stays in-task, never shuffled)."""
-    if real:
-        raise NotImplementedError(
-            "real decoders (libjpeg/ffmpeg) are not installed in this "
-            "environment; the plumbing below runs with the deterministic fake"
-        )
+    pandas DataFrames of full rows; payload stays in-task, never shuffled).
+    ``real=True`` decodes PPM/WAV/VID0 payloads with the pure-numpy codecs;
+    ``real=False`` uses the sha256 fake (for opaque fake-codec payloads)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            if real:
+                feats = [
+                    _real_features(k, bytes(p), dim)
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+            else:
+                feats = [_fake_decode(bytes(p), dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -89,7 +343,7 @@ def extract_features(media: DataFrame, dim: int = 16, real: bool = False) -> Dat
                     "features": [f.tolist() for f in feats],
                     "payload_bytes": pdf["payload"].map(len),
                     "payload_crc": pdf["payload"].map(
-                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                        lambda b: zlib.crc32(bytes(b)) & 0xFFFFFFFF
                     ),
                 }
             )
@@ -97,49 +351,77 @@ def extract_features(media: DataFrame, dim: int = 16, real: bool = False) -> Dat
     return media.mapInPandas(fn, FEATURE_DDL)
 
 
-def resize_images(media: DataFrame, width: int, height: int, real: bool = False) -> DataFrame:
-    """Resize stub: validates schema/flow; real kernel would be PIL.resize."""
-    if real:
-        raise NotImplementedError("image resize requires PIL — stubbed")
+def _resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy, matches the standard
+    floor((i+0.5)*src/dst) pixel-center mapping)."""
+    h, w = arr.shape[:2]
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return arr[yi][:, xi]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, real: bool = True
+) -> DataFrame:
+    """REAL kernel: decode PPM, nearest-neighbor resize, re-encode; the crc is
+    of the RESIZED payload (so the oracle can re-derive it). ``real=False``
+    keeps the round-1 passthrough-crc stub for opaque payloads."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             img = pdf[pdf["kind"] == "image"]
             if len(img) == 0:
                 continue
+            if real:
+                crcs = [
+                    zlib.crc32(encode_ppm(_resize_nearest(decode_ppm(bytes(p)), width, height)))
+                    & 0xFFFFFFFF
+                    for p in img["payload"]
+                ]
+            else:
+                crcs = [zlib.crc32(bytes(p)) & 0xFFFFFFFF for p in img["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": img["media_id"],
                     "kind": img["kind"],
                     "out_width": width,
                     "out_height": height,
-                    "payload_crc": img["payload"].map(
-                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
-                    ),
+                    "payload_crc": crcs,
                 }
             )
 
     return media.mapInPandas(fn, RESIZE_DDL)
 
 
-def sample_frames(media: DataFrame, every_n: int = 8, real: bool = False) -> DataFrame:
-    """Frame sampling stub for video rows: emits one row per sampled frame
-    index (UDTF-ish fan-out via mapInPandas)."""
-    if real:
-        raise NotImplementedError("frame extraction requires ffmpeg — stubbed")
+def sample_frames(media: DataFrame, every_n: int = 2, real: bool = True) -> DataFrame:
+    """REAL kernel: decode the VID0 container, emit one row per sampled frame
+    with the crc of that frame's PPM bytes (UDTF-ish fan-out via mapInPandas).
+    ``real=False`` keeps the synthetic-index stub for opaque payloads."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vid = pdf[pdf["kind"] == "video"]
             out_ids, out_idx, out_crc = [], [], []
-            for _, row in vid.iterrows():
-                n = row["meta"]["n_frames"] or 0
-                for fi in range(0, n, every_n):
-                    out_ids.append(row["media_id"])
-                    out_idx.append(fi)
-                    out_crc.append(
-                        zlib.crc32(row["payload"] + fi.to_bytes(4, "big")) & 0xFFFFFFFF
-                    )
+            for mid, payload, meta in zip(
+                vid["media_id"], vid["payload"], vid["meta"]
+            ):
+                if real:
+                    frames = decode_video(bytes(payload))
+                    for fi in range(0, len(frames), every_n):
+                        out_ids.append(mid)
+                        out_idx.append(fi)
+                        out_crc.append(
+                            zlib.crc32(encode_ppm(frames[fi])) & 0xFFFFFFFF
+                        )
+                else:
+                    n = (meta["n_frames"] if meta is not None else 0) or 0
+                    for fi in range(0, n, every_n):
+                        out_ids.append(mid)
+                        out_idx.append(fi)
+                        out_crc.append(
+                            zlib.crc32(bytes(payload) + fi.to_bytes(4, "big"))
+                            & 0xFFFFFFFF
+                        )
             if out_ids:
                 yield pd.DataFrame(
                     {"media_id": out_ids, "frame_idx": out_idx, "frame_crc": out_crc}

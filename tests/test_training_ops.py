@@ -192,25 +192,94 @@ def test_fingerprint_properties(spark):
 
 
 def test_multimodal_plumbing(spark):
-    media = M.synthetic_media(spark, n=24)
-    feats = M.extract_features(media, dim=8).toPandas()
+    media = M.synthetic_media(spark, n=24, real=False)
+    feats = M.extract_features(media, dim=8, real=False).toPandas()
     assert len(feats) == 24
     assert (feats["features"].map(len) == 8).all()
     # deterministic across runs
-    feats2 = M.extract_features(media, dim=8).toPandas()
+    feats2 = M.extract_features(media, dim=8, real=False).toPandas()
     a = feats.sort_values("media_id")["payload_crc"].tolist()
     b = feats2.sort_values("media_id")["payload_crc"].tolist()
     assert a == b
 
-    resized = M.resize_images(media, 32, 24).toPandas()
+    resized = M.resize_images(media, 32, 24, real=False).toPandas()
     assert (resized["kind"] == "image").all() and len(resized) == 8
 
-    frames = M.sample_frames(media, every_n=8).toPandas()
+    frames = M.sample_frames(media, every_n=8, real=False).toPandas()
     assert (frames["frame_idx"] % 8 == 0).all()
     assert frames["media_id"].str.startswith("m-").all()
 
-    with pytest.raises(NotImplementedError):
-        M.extract_features(media, real=True)
+
+def test_codecs_golden_and_roundtrip():
+    """Pure-numpy codec kernels on known payloads (no Spark)."""
+    # PPM golden: 2x1 image with known bytes
+    arr = np.array([[[255, 0, 10], [1, 2, 3]]], dtype=np.uint8)
+    b = M.encode_ppm(arr)
+    assert b == b"P6\n2 1\n255\n" + bytes([255, 0, 10, 1, 2, 3])
+    assert (M.decode_ppm(b) == arr).all()
+    # comment handling per netpbm spec
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes([255, 0, 10, 1, 2, 3])
+    assert (M.decode_ppm(commented) == arr).all()
+
+    # WAV golden: known samples round-trip, header fields exact
+    samples = np.array([0, 1, -1, 32767, -32768, 100], dtype=np.int16)
+    wav = M.encode_wav(samples, 8000)
+    got, rate = M.decode_wav(wav)
+    assert rate == 8000 and (got == samples).all()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+    # video container round-trip
+    frames = [arr, arr * 0, arr // 2]
+    vid = M.encode_video(frames)
+    back = M.decode_video(vid)
+    assert len(back) == 3 and all((x == y).all() for x, y in zip(frames, back))
+
+    # nearest-neighbor resize golden: 2x2 -> 1x1 picks the pixel-center source
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    small = M._resize_nearest(img, 1, 1)
+    assert small.shape == (1, 1, 3) and (small[0, 0] == img[1, 1]).all()
+
+
+def test_media_stats_matches_preencode_truth(spark):
+    """The decode kernels must invert the encode stage: stats of the DECODED
+    payloads equal the ground truth computed on the raw arrays pre-encode."""
+    import pandas as pd
+
+    media = M.synthetic_media(spark, n=30, seed=7)
+    got = (
+        M.media_stats(media)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    truth = pd.DataFrame(
+        [M._gen_one(i, 7)[1] for i in range(30)], columns=M.TRUTH_COLUMNS
+    ).sort_values("media_id").reset_index(drop=True)
+    for c in M.TRUTH_COLUMNS:
+        if c in ("media_id", "kind"):
+            assert got[c].tolist() == truth[c].tolist(), c
+        else:
+            assert (
+                got[c].astype("float64").fillna(-1).tolist()
+                == truth[c].astype("float64").fillna(-1).tolist()
+            ), c
+
+
+def test_sample_frames_real_crc(spark):
+    """Sampled-frame crc equals crc(encode_ppm(decoded frame))."""
+    import zlib
+
+    media = M.synthetic_media(spark, n=6, seed=3)
+    out = M.sample_frames(media, every_n=2).toPandas()
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'video'").collect()
+    }
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        frames = M.decode_video(rows[r["media_id"]])
+        want = zlib.crc32(M.encode_ppm(frames[r["frame_idx"]])) & 0xFFFFFFFF
+        assert r["frame_crc"] == want
 
 
 def test_ivf_topk_recall(spark, emb, queries):
