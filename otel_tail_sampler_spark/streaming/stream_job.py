@@ -46,6 +46,34 @@ def read_tokenized_stream(
     return reader.parquet(path)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source branch (S1 proper; /root/reference/src/kafka/consumer.rs
+    :136-193). The message value is the JSON-encoded tokenized row; this maps
+    it to the same schema the file source yields, so everything downstream is
+    source-agnostic. Requires the spark-sql-kafka package on the classpath
+    (absent in this sandbox — the file source is the tested stand-in; this
+    branch is exercised on real deployments via
+    --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        ).alias("r")
+    ).select("r.*")
+
+
 def assemble_sessions(
     spans: DataFrame, gap_seconds: int = 30, watermark_delay: str = "10 seconds"
 ) -> DataFrame:
@@ -112,6 +140,114 @@ def assemble_sessions(
     )
 
 
+STATE_SCHEMA = (
+    "span_count long, error_count long, max_duration_ms long, "
+    "min_ts long, max_ts long, first_ts long, first_sid string, "
+    "first_svc string, root_ts long, root_sid string, ops array<string>"
+)
+
+SUMMARY_SCHEMA = (
+    "trace_k1 long, trace_k2 long, trace_id string, service_name string, "
+    "span_count long, has_error boolean, error_count long, "
+    "max_duration_ms long, min_timestamp_ms long, max_timestamp_ms long, "
+    "operations array<string>, root_span_id string"
+)
+
+
+def assemble_with_state(
+    spans: DataFrame, gap_seconds: int = 30, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Per-trace CUSTOM state with event-time timeout — the second streaming
+    strategy, mirroring the reference's TraceState inactivity expiry
+    (/root/reference/src/state.rs:293-325) directly instead of via
+    session_window: each trace key holds one state row of running aggregates;
+    a span batch folds into it and re-arms the timeout at
+    last_span_ts + gap; when the watermark passes that, the summary is
+    emitted exactly once and the state removed.
+
+    Equivalent to assemble_sessions when no trace pauses longer than the gap
+    (one session per trace); differs by design when a trace pauses — the
+    session variant emits one summary per burst, this one folds everything
+    seen until the trace finally goes quiet (closer to the reference, which
+    keeps ONE buffer entry per trace id, memory.rs:185-228).
+    """
+    import pandas as pd
+
+    gap_ms = gap_seconds * 1000
+
+    with_ts = spans.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp_ms"))
+    ).withWatermark("event_time", watermark_delay)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, ops) = state.get
+            state.remove()
+            k1, k2 = int(key[0]), int(key[1])
+            yield pd.DataFrame(
+                [
+                    {
+                        "trace_k1": k1,
+                        "trace_k2": k2,
+                        "trace_id": f"{k1 & (2**64 - 1):016X}{k2 & (2**64 - 1):016X}",
+                        "service_name": fsvc,
+                        "span_count": sc,
+                        "has_error": ec > 0,
+                        "error_count": ec,
+                        "max_duration_ms": mx,
+                        "min_timestamp_ms": mn,
+                        "max_timestamp_ms": mxts,
+                        "operations": sorted(ops),
+                        "root_span_id": rsid,
+                    }
+                ]
+            )
+            return
+
+        sc, ec, mx, mn, mxts = 0, 0, None, None, None
+        fts, fsid, fsvc, rts, rsid = None, None, None, None, None
+        ops: set = set()
+        if state.exists:
+            (sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, prev_ops) = state.get
+            ops = set(prev_ops)
+
+        for pdf in pdfs:
+            sc += len(pdf)
+            ec += int((pdf["status_code"] == 2).sum())
+            mx = max(int(pdf["duration_ms"].max()), mx if mx is not None else -1)
+            mn = min(int(pdf["timestamp_ms"].min()), mn if mn is not None else 2**62)
+            mxts = max(int(pdf["timestamp_ms"].max()), mxts if mxts is not None else -1)
+            ops.update(pdf["operation_name"])
+            # first span by (ts, span_id) — batch assembly's min-struct order
+            i = pdf.sort_values(["timestamp_ms", "span_id"]).iloc[0]
+            cand = (int(i["timestamp_ms"]), str(i["span_id"]), str(i["service_name"]))
+            if fts is None or cand[:2] < (fts, fsid):
+                fts, fsid, fsvc = cand
+            roots = pdf[pdf["parent_span_id"].isnull()]
+            if len(roots):
+                j = roots.sort_values(["timestamp_ms", "span_id"]).iloc[0]
+                rc = (int(j["timestamp_ms"]), str(j["span_id"]))
+                if rts is None or rc < (rts, rsid):
+                    rts, rsid = rc
+
+        state.update((sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, sorted(ops)))
+        # re-arm: fire when the watermark passes last-span-ts + gap; never arm
+        # in the past (Spark requires timeout > current watermark)
+        state.setTimeoutTimestamp(
+            max(mxts + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — make fn a generator in the update branch
+
+    return with_ts.groupBy("trace_k1", "trace_k2").applyInPandasWithState(
+        fn,
+        outputStructType=SUMMARY_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -121,17 +257,25 @@ def run_streaming_pipeline(
     watermark_delay: str = "10 seconds",
     available_now: bool = True,
     max_files_per_trigger: int | None = 8,
+    strategy: str = "session_window",
 ):
     """Bounded streaming run (Trigger.AvailableNow): emits decided trace
     summaries for every session the watermark closed, written per micro-batch
     via foreachBatch into decided/ (append-only, idempotent by batch id).
 
+    ``strategy``: 'session_window' (watermarked session aggregation) or
+    'state' (applyInPandasWithState per-trace timeout, state.rs:293-325).
     Returns the StreamingQuery after awaiting termination.
     """
     cfg = cfg or SamplerConfig(rate_limit_per_key=None)
     stream = read_tokenized_stream(spark, input_path, max_files_per_trigger)
     spans = parse_spans(stream, keep_tokens=False).filter(F.col("parse_ok"))
-    sessions = assemble_sessions(spans, gap_seconds, watermark_delay)
+    if strategy == "state":
+        sessions = assemble_with_state(spans, gap_seconds, watermark_delay)
+    elif strategy == "session_window":
+        sessions = assemble_sessions(spans, gap_seconds, watermark_delay)
+    else:
+        raise ValueError(f"unknown streaming strategy: {strategy}")
 
     decided_dir = os.path.join(out_dir, "decided")
     ckpt = os.path.join(out_dir, "_stream_checkpoint")

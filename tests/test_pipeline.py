@@ -102,3 +102,25 @@ def test_disjoint_and_complete_routing(result):
         for r in result.routed.groupBy("decision").count().collect()
     )
     assert sum(per_sink.values()) == total
+
+
+def test_iceberg_feature_gate(spark, small_dataset):
+    """Iceberg is feature-gated: with the runtime jar present the routed sink
+    round-trips through writeTo with the reference partition spec; without it
+    (this sandbox: negative probe, no jar + offline ivy) the gate raises a
+    clear error and read/write never run."""
+    import pytest
+
+    from otel_tail_sampler_spark.sources import iceberg as I
+
+    if not I.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            I.read_iceberg(spark, "lake.db.spans")
+        pytest.skip("iceberg-spark-runtime not on classpath (documented probe)")
+
+    from otel_tail_sampler_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, small_dataset["tokenized"])
+    I.write_routed_iceberg(res.routed, "lake.db.routed_test")
+    back = I.read_iceberg(spark, "lake.db.routed_test")
+    assert back.count() == res.routed.count()

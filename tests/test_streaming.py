@@ -94,3 +94,71 @@ def test_stream_decisions_match_batch_decide(stream_result):
 def test_no_duplicate_emissions(stream_result):
     emitted, _ = stream_result
     assert emitted["trace_id"].is_unique
+
+
+@pytest.fixture(scope="module")
+def state_stream_result(spark, tmp_path_factory):
+    """Same bounded run driven by the applyInPandasWithState strategy."""
+    data_dir = tmp_path_factory.mktemp("state_stream_in")
+    out_dir = str(tmp_path_factory.mktemp("state_stream_out"))
+    paths = generate_dataset(
+        GenSpec(n_traces=300, spans_per_trace=5, error_rate=0.2, seed=11),
+        str(data_dir),
+    )
+    run_streaming_pipeline(
+        spark,
+        paths["tokenized"],
+        out_dir,
+        CFG,
+        gap_seconds=GAP_S,
+        watermark_delay=f"{DELAY_S} seconds",
+        max_files_per_trigger=3,
+        strategy="state",
+    )
+    emitted = pd.read_parquet(os.path.join(out_dir, "decided"))
+    oracle_spans = pd.read_parquet(paths["oracle"])
+    return emitted, oracle_spans
+
+
+def test_state_emitted_set_bounded_by_watermark(state_stream_result):
+    """Custom-state timeouts fire when the watermark passes last_ts + gap
+    STRICTLY; the emitted set is bracketed by the strict and lenient closure
+    sets (they differ only on exact-boundary ties)."""
+    emitted, spans = state_stream_result
+    per_trace = spans.groupby("trace_id")["timestamp_ms"].agg(["min", "max"])
+    final_wm = spans["timestamp_ms"].max() - DELAY_S * 1000
+    strict = set(per_trace[per_trace["max"] + GAP_S * 1000 < final_wm].index)
+    lenient = set(per_trace[per_trace["max"] + GAP_S * 1000 <= final_wm].index)
+    got = set(emitted["trace_id"])
+    assert strict <= got <= lenient
+    assert len(got) > 0
+    assert emitted["trace_id"].is_unique
+
+
+def test_state_summaries_match_batch_assembly(state_stream_result):
+    emitted, spans = state_stream_result
+    want = O.assemble(spans).set_index("trace_id")
+    for _, row in emitted.sample(min(50, len(emitted)), random_state=0).iterrows():
+        w = want.loc[row["trace_id"]]
+        assert row["span_count"] == w["span_count"]
+        assert row["has_error"] == w["has_error"]
+        assert row["error_count"] == w["error_count"]
+        assert row["max_duration_ms"] == w["max_duration_ms"]
+        assert row["min_timestamp_ms"] == w["min_timestamp_ms"]
+        assert row["max_timestamp_ms"] == w["max_timestamp_ms"]
+        assert sorted(row["operations"]) == w["operations"]
+        assert row["root_span_id"] == w["root_span_id"]
+        assert row["service_name"] == w["service_name"]
+
+
+def test_state_decisions_match_batch_decide(state_stream_result):
+    emitted, spans = state_stream_result
+    decided_o = O.decide(
+        O.assemble(spans),
+        error_rate=0.8,
+        latency_threshold_ms=4000,
+        latency_rate=1.0,
+        max_span_count=100,
+    ).set_index("trace_id")
+    for _, row in emitted.iterrows():
+        assert row["decision"] == decided_o.loc[row["trace_id"], "decision"]
