@@ -102,6 +102,9 @@ def run_pipeline(
     )
 
 
+SINK_NAMES = ("keep", "drop", "overflow", "malformed")
+
+
 def run_and_write(
     spark: SparkSession,
     input_path: str,
@@ -109,11 +112,37 @@ def run_and_write(
     cfg: SamplerConfig | None = None,
     **kw,
 ) -> dict[str, DataFrame]:
+    """Run + write sinks, decision metrics, per-sink row metrics, the exported
+    manifest, and a per-run metrics table (metrics_run) with stage row counts
+    and wall time — the observability surface (metrics.rs:20-58 counters).
+
+    Per-sink row counts come from an Observation attached to the sink write
+    itself (one pass over the data; no second scan of the routed plan)."""
+    import time
+
+    from pyspark.sql import Observation
+
+    t0 = time.time()
     res = run_pipeline(spark, input_path, cfg, **kw)
-    write_routed(res.routed, os.path.join(out_dir, "routed"))
+    obs = Observation()
+    routed_obs = res.routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("routed_rows"),
+        *[
+            F.sum((F.col("decision") == s).cast("long")).alias(f"{s}_rows")
+            for s in SINK_NAMES
+        ],
+    )
+    write_routed(routed_obs, os.path.join(out_dir, "routed"))
+    counts = obs.get  # available after the write action
+
     dm = decision_metrics(res.decisions)
-    rm = sink_row_metrics(res.routed)
     dm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_decisions"))
+    rm = spark.createDataFrame(
+        [(s, int(counts[f"{s}_rows"] or 0)) for s in SINK_NAMES
+         if (counts[f"{s}_rows"] or 0) > 0],
+        "sink string, row_count long",
+    )
     rm.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics_rows"))
     # exported manifest (J2 dedup source on re-runs; replaces Redis
     # exported:{trace_id} keys, evaluator.rs:358-401)
@@ -123,4 +152,19 @@ def run_and_write(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "exported"))
     )
-    return {"decision_metrics": dm, "row_metrics": rm}
+    run_rows = [
+        ("input_rows", int(counts["routed_rows"] or 0)),
+        ("traces", int(res.decisions.count())),  # persisted slim: no recompute
+        *[(f"routed_{s}", int(counts[f"{s}_rows"] or 0)) for s in SINK_NAMES],
+        ("wall_ms", int((time.time() - t0) * 1000)),
+        ("finished_at_ms", int(time.time() * 1000)),
+    ]
+    run_metrics = spark.createDataFrame(run_rows, "metric string, value long")
+    run_metrics.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "metrics_run")
+    )
+    return {
+        "decision_metrics": dm,
+        "row_metrics": rm,
+        "run_metrics": run_metrics,
+    }

@@ -168,3 +168,60 @@ def test_span_field_matcher_without_attributes(spark, attr_spans):
     out = apply_force_rules(_traces(spark), attr_spans, rules).collect()
     by_id = {r["trace_id"]: r["force_keep"] for r in out}
     assert by_id == {"T1": True, "T2": False, "T3": False, "T4": False}
+
+
+def test_rule_store_crud_and_reload(spark, attr_spans, tmp_path):
+    """Lake-backed rule CRUD (force_sampling.rs:486-601 analog): save ->
+    update (new version wins) -> delete (tombstone); apply_rules_from_table
+    reloads the current snapshot each run."""
+    from otel_tail_sampler_spark.operators import rule_store as RS
+
+    path = str(tmp_path / "rules")
+    traces = spark.createDataFrame(
+        [
+            ("T1", "payment-service", 3, False, 100),
+            ("T2", "user-service", 3, False, 100),
+        ],
+        TRACE_SCHEMA,
+    )
+
+    # create
+    v1 = RS.save_rule(spark, path, {
+        "id": "r1", "priority": 10, "action": "force_keep",
+        "resource_matchers": [{"key": "service.name", "op": "eq",
+                               "value": "payment-service"}],
+    })
+    assert v1 == 1
+    out = RS.apply_rules_from_table(traces, attr_spans, path)
+    got = {r["trace_id"]: r["force_keep"] for r in out.collect()}
+    assert got == {"T1": True, "T2": False}
+
+    # update: same id, new matcher -> latest version wins
+    v2 = RS.save_rule(spark, path, {
+        "id": "r1", "priority": 10, "action": "force_keep",
+        "resource_matchers": [{"key": "service.name", "op": "eq",
+                               "value": "user-service"}],
+    })
+    assert v2 == 2
+    rules = RS.load_rules(spark, path)
+    assert len(rules) == 1
+    assert rules[0]["resource_matchers"][0]["value"] == "user-service"
+    out2 = {r["trace_id"]: r["force_keep"]
+            for r in RS.apply_rules_from_table(traces, attr_spans, path).collect()}
+    assert out2 == {"T1": False, "T2": True}
+
+    # second rule + delete the first -> only r2 remains
+    RS.save_rule(spark, path, {
+        "id": "r2", "priority": 5, "action": "force_drop",
+        "resource_matchers": [{"key": "service.name", "op": "eq",
+                               "value": "payment-service"}],
+    })
+    RS.delete_rule(spark, path, "r1")
+    rules = RS.load_rules(spark, path)
+    assert [r["id"] for r in rules] == ["r2"]
+    out3 = {r["trace_id"]: (r["force_keep"], r["force_drop"])
+            for r in RS.apply_rules_from_table(traces, attr_spans, path).collect()}
+    assert out3 == {"T1": (False, True), "T2": (False, False)}
+
+    # empty/missing table -> no rules, no flags
+    assert RS.load_rules(spark, str(tmp_path / "nope")) == []
