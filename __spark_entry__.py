@@ -222,6 +222,156 @@ def q_error_short_circuit(spark, sf_dir):
     )
 
 
+def _stringify_map(col_name: str):
+    """Portable map hash: sorted 'k=v' CSV (maps don't canonicalize across
+    engines; strings do)."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col(col_name)),
+                lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+            )
+        ),
+        ",",
+    )
+
+
+def q_export_projection(spark, sf_dir):
+    """S9: span -> export record (client.rs:192-234): ms->ns, error flag,
+    meta map (stringified for the cross-engine hash)."""
+    from otel_tail_sampler_spark.operators.export import span_export_projection
+
+    rec = span_export_projection(_parsed(spark, sf_dir))
+    return rec.select(
+        "trace_id", "span_id", "parent_id", "service", "name",
+        "start", "duration", "error",
+        _stringify_map("meta").alias("meta_csv"),
+    )
+
+
+def q_buffer_stats(spark, sf_dir):
+    """A10 (state.rs:582-614): per-status counts + byte-estimate metrics."""
+    from otel_tail_sampler_spark.operators.export import buffer_stats
+
+    return buffer_stats(_parsed(spark, sf_dir)).orderBy("status_code")
+
+
+def q_sql_on_lake(spark, sf_dir):
+    """S6: SQL surface over the registered span view (iceberg.rs:171-181
+    analog): top operation per service by span count."""
+    _parsed(spark, sf_dir).createOrReplaceTempView("spans_view")
+    return spark.sql(
+        """
+        SELECT service_name, operation_name, cnt FROM (
+          SELECT service_name, operation_name, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY service_name
+                                    ORDER BY count(*) DESC, operation_name) AS rk
+          FROM spans_view GROUP BY 1, 2
+        ) WHERE rk = 1 ORDER BY service_name
+        """
+    )
+
+
+# inline deterministic fixture for attribute-bearing operators (the generated
+# tokenized table has no attributes column; both engines get the same VALUES)
+ATTR_FIXTURE = [
+    # span_id, operation_name, db.operation, db.system, db.statement, extra attrs
+    ("a1", "db.call", "findOne", "mongodb", None, {}),
+    ("a2", "pg.q", None, "postgresql", "SELECT * FROM users WHERE id = 7", {}),
+    ("a3", "pg.q", None, "postgresql", "insert into t values ('x')", {}),
+    ("a4", "pg.q", None, "postgresql", "UPDATE t SET a = 1 WHERE b = 2", {}),
+    ("a5", "pg.q", None, "postgresql", "DELETE FROM t WHERE a = 3", {}),
+    ("a6", "custom.op", None, None, None, {"tenant": "acme", "service.version": "1.2"}),
+    ("a7", "pg.q", None, "postgresql", "VACUUM ANALYZE t", {}),
+    ("a8", "pat.q", None, "postgresql", "SELECT * FROM USERS u JOIN x", {}),
+    ("a9", "plain.http", None, None, None,
+     {"host.name": "h1", "k8s.pod": "p1", "other": "zz", "customer_id": "c9"}),
+]
+
+
+def _attr_fixture_df(spark):
+    rows = []
+    for sid, op, dbop, dbsys, dbstmt, extra in ATTR_FIXTURE:
+        attrs = dict(extra)
+        if dbop:
+            attrs["db.operation"] = dbop
+        if dbsys:
+            attrs["db.system"] = dbsys
+        if dbstmt:
+            attrs["db.statement"] = dbstmt
+        rows.append(("T1", sid, None, "svc-a", op, 1000, 50, 0, attrs))
+    return spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, operation_name string, timestamp_ms long, "
+        "duration_ms long, status_code long, attributes map<string,string>",
+    )
+
+
+def q_operation_type(spark, sf_dir):
+    """F5+F6: operation-type classification over db.* attributes, including
+    the configured pattern-table rewrite (span_compression.rs:230-296)."""
+    from otel_tail_sampler_spark.operators.compression import (
+        CompressionConfig,
+        with_group_key,
+    )
+
+    cfg = CompressionConfig(sql_patterns=(("FROM USERS", "user-queries"),))
+    return with_group_key(_attr_fixture_df(spark), cfg).select(
+        "span_id", "op_type", "norm_statement"
+    )
+
+
+def q_resource_attrs(spark, sf_dir):
+    """P7: prefix-filtered pseudo-resource attributes + service.name
+    (force_sampling.rs:301-323)."""
+    from otel_tail_sampler_spark.functions.matchers import resource_attributes
+
+    df = _attr_fixture_df(spark).withColumn(
+        "resource",
+        resource_attributes(F.col("attributes"), F.col("service_name")),
+    )
+    return df.select(
+        "span_id", _stringify_map("resource").alias("resource_csv")
+    )
+
+
+def q_compression_export(spark, sf_dir):
+    """S10+F11+F12: compressed group -> export record with compression.* meta
+    tags (client.rs:236-329), golden-checked (compressed_span_id is xxhash64 —
+    engine-specific — so it is excluded from the compared columns)."""
+    from otel_tail_sampler_spark.operators.compression import (
+        CompressionConfig,
+        compress_spans,
+        compression_export_projection,
+    )
+
+    rows = []
+    for i, (dur, status) in enumerate([(10, 0), (20, 2), (30, 0)]):
+        rows.append(("T9", f"s{i}", "R", "db-svc", "pg.query",
+                     1000 + 1000 * i, dur, status,
+                     {"db.system": "postgresql",
+                      "db.statement": f"SELECT * FROM t WHERE id = {i}"}))
+    for i, dur in enumerate([5, 5, 5, 7]):
+        rows.append(("T9", f"t{i}", "R", "db-svc", "pg.query",
+                     1500 + 100 * i, dur, 0,
+                     {"db.system": "postgresql",
+                      "db.statement": f"INSERT INTO logs VALUES ('x{i}')"}))
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, operation_name string, timestamp_ms long, "
+        "duration_ms long, status_code long, attributes map<string,string>",
+    )
+    out = compress_spans(spans, CompressionConfig(min_compression_count=3))
+    rec = compression_export_projection(out["compressed"])
+    return rec.select(
+        "trace_id", "parent_span_id", "service_name", "operation_name",
+        "timestamp_ms", "duration_ms", "error",
+        _stringify_map("meta").alias("meta_csv"),
+    )
+
+
 # D4 configurable-condition AST exercised end-to-end (policies.rs:434-572):
 # and/or/not nesting, service prefix + regex matchers, duration_range,
 # operation suffix (EXISTS over the trace's distinct operations), hash gate.
@@ -751,6 +901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_all_match": q_combine_all_match,
         "combine_consensus": q_combine_consensus,
         "combine_priority": q_combine_priority,
+        "export_projection": q_export_projection,
+        "compression_export": q_compression_export,
+        "buffer_stats": q_buffer_stats,
+        "sql_on_lake": q_sql_on_lake,
+        "operation_type": q_operation_type,
+        "resource_attrs": q_resource_attrs,
         "slowest_traces": q_slowest_traces,
         "error_traces_recent": q_error_traces_recent,
         "span_service_stats": q_span_service_stats,
@@ -1058,6 +1214,102 @@ def oracle_sql() -> dict[str, str]:
                      OR NOT regexp_matches(s.service_name, '^(api|user)-'))
                     AND {_hfrac_sql('s.trace_id', 'configurable')} < 0.35) AS keep
             FROM summaries s JOIN ops o USING (trace_id)
+        """,
+        "export_projection": f"""
+            SELECT trace_id, span_id, parent_span_id AS parent_id,
+                   service_name AS service, operation_name AS name,
+                   (timestamp_ms * 1000000)::BIGINT AS start,
+                   (duration_ms * 1000000)::BIGINT AS duration,
+                   (status_code = 2)::INT AS error,
+                   'env=production,span.kind=' || span_kind ||
+                   ',status.code=' || status_code AS meta_csv
+            FROM '{sp}'
+        """,
+        "compression_export": """
+            SELECT * FROM (VALUES
+              ('T9', 'R', 'db-svc', 'db.query.select', 1000::BIGINT,
+               60::BIGINT, 1::INT,
+               'compression.error_count=1,' ||
+               'compression.group_signature=SELECT * FROM T WHERE ID = ?,' ||
+               'compression.max_duration_ms=30,' ||
+               'compression.mean_duration_ms=20.00,' ||
+               'compression.min_duration_ms=10,compression.span_count=3'),
+              ('T9', 'R', 'db-svc', 'db.query.insert', 1500::BIGINT,
+               22::BIGINT, 0::INT,
+               'compression.error_count=0,' ||
+               'compression.group_signature=INSERT INTO LOGS VALUES (?),' ||
+               'compression.max_duration_ms=7,' ||
+               'compression.mean_duration_ms=5.50,' ||
+               'compression.min_duration_ms=5,compression.span_count=4')
+            ) t(trace_id, parent_span_id, service_name, operation_name,
+                timestamp_ms, duration_ms, error, meta_csv)
+        """,
+        "buffer_stats": f"""
+            SELECT status_code, count(*)::BIGINT AS span_count,
+                   count(DISTINCT trace_id)::BIGINT AS trace_count,
+                   (count(*) * 1024)::BIGINT AS est_bytes
+            FROM '{sp}' GROUP BY 1 ORDER BY 1
+        """,
+        "sql_on_lake": f"""
+            SELECT service_name, operation_name, cnt FROM (
+              SELECT service_name, operation_name, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY service_name
+                                        ORDER BY count(*) DESC, operation_name) AS rk
+              FROM '{sp}' GROUP BY 1, 2
+            ) WHERE rk = 1 ORDER BY service_name
+        """,
+        "operation_type": """
+            WITH fixture AS (
+              SELECT * FROM (VALUES
+                ('a1', 'db.call', 'findOne', 'mongodb', NULL),
+                ('a2', 'pg.q', NULL, 'postgresql', 'SELECT * FROM users WHERE id = 7'),
+                ('a3', 'pg.q', NULL, 'postgresql', 'insert into t values (''x'')'),
+                ('a4', 'pg.q', NULL, 'postgresql', 'UPDATE t SET a = 1 WHERE b = 2'),
+                ('a5', 'pg.q', NULL, 'postgresql', 'DELETE FROM t WHERE a = 3'),
+                ('a6', 'custom.op', NULL, NULL, NULL),
+                ('a7', 'pg.q', NULL, 'postgresql', 'VACUUM ANALYZE t'),
+                ('a8', 'pat.q', NULL, 'postgresql', 'SELECT * FROM USERS u JOIN x'),
+                ('a9', 'plain.http', NULL, NULL, NULL)
+              ) t(span_id, operation_name, db_operation, db_system, db_statement)
+            ),
+            normed AS (
+              SELECT *, upper(trim(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(coalesce(db_statement, operation_name),
+                  '''[^'']*''', '?', 'g'), '"[^"]*"', '?', 'g'),
+                '\\d+', '?', 'g'), '\\s+', ' ', 'g'))) AS norm_statement
+              FROM fixture
+            )
+            SELECT span_id,
+                   CASE
+                     WHEN db_operation IS NOT NULL THEN 'db.query.' || db_operation
+                     WHEN db_statement IS NOT NULL
+                          AND contains(norm_statement, 'FROM USERS')
+                       THEN 'user-queries'
+                     WHEN db_system IS NOT NULL AND norm_statement LIKE 'SELECT%'
+                       THEN 'db.query.select'
+                     WHEN db_system IS NOT NULL AND norm_statement LIKE 'INSERT%'
+                       THEN 'db.query.insert'
+                     WHEN db_system IS NOT NULL AND norm_statement LIKE 'UPDATE%'
+                       THEN 'db.query.update'
+                     WHEN db_system IS NOT NULL AND norm_statement LIKE 'DELETE%'
+                       THEN 'db.query.delete'
+                     ELSE operation_name
+                   END AS op_type,
+                   norm_statement
+            FROM normed
+        """,
+        "resource_attrs": """
+            SELECT * FROM (VALUES
+              ('a1', 'service.name=svc-a'),
+              ('a2', 'service.name=svc-a'),
+              ('a3', 'service.name=svc-a'),
+              ('a4', 'service.name=svc-a'),
+              ('a5', 'service.name=svc-a'),
+              ('a6', 'service.name=svc-a,service.version=1.2,tenant=acme'),
+              ('a7', 'service.name=svc-a'),
+              ('a8', 'service.name=svc-a'),
+              ('a9', 'customer_id=c9,host.name=h1,k8s.pod=p1,service.name=svc-a')
+            ) t(span_id, resource_csv)
         """,
         "combine_all_match": S
         + _d5_oracle_select("all_match"),

@@ -84,9 +84,52 @@ def _with_trace_id(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def assemble_traces(spans: DataFrame, salt_buckets: int | None = None) -> DataFrame:
-    """spans -> TraceSummary (one row per trace_id). A1 of SURVEY.md §2.4."""
+def detect_salt_buckets(
+    spans: DataFrame,
+    sample_fraction: float = 0.01,
+    hot_threshold: int = 5_000,
+    max_buckets: int = 64,
+    seed: int = 42,
+) -> int | None:
+    """Cheap key-skew probe: spans-per-trace on a seeded sample; if the
+    hottest sampled trace implies more than ``hot_threshold`` spans, return a
+    bucket count sized so each reducer sees ~hot_threshold of them (capped).
+
+    Cost: ONE narrow aggregation over ``sample_fraction`` of the input
+    (key columns only — Parquet reads nothing else). The estimate is noisy
+    but only the order of magnitude matters for picking a bucket count; a
+    sampled hot key is by definition the kind that shows up in any sample.
+    """
+    import math
+
     keys = _group_keys(spans)
+    top = (
+        spans.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    if top is None:
+        return None
+    implied = top / sample_fraction
+    if implied <= hot_threshold:
+        return None
+    return min(max_buckets, max(2, math.ceil(implied / hot_threshold)))
+
+
+def assemble_traces(
+    spans: DataFrame, salt_buckets: int | str | None = None
+) -> DataFrame:
+    """spans -> TraceSummary (one row per trace_id). A1 of SURVEY.md §2.4.
+
+    ``salt_buckets``: None = single two-phase hash agg (map-side combine),
+    an int = explicit salted two-phase plan, 'auto' = probe the key skew
+    (detect_salt_buckets) and salt only when a heavy hitter is found.
+    """
+    keys = _group_keys(spans)
+    if salt_buckets == "auto":
+        salt_buckets = detect_salt_buckets(spans)
     if salt_buckets and salt_buckets > 1:
         return _assemble_salted(spans, salt_buckets, keys)
     agg = (

@@ -43,6 +43,15 @@ def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
     # percent) — the metadata-first move that keeps the broadcast O(kept), not
     # O(traces), at any scale. Unmatched spans default to drop.
     #
+    # Escape hatch at extreme scale: there is deliberately NO F.broadcast()
+    # hint here. Spark sizes the build side itself, so when the kept set
+    # exceeds spark.sql.autoBroadcastJoinThreshold (e.g. 10^12 traces at a
+    # high keep rate) the plan degrades gracefully to a shuffle join on the
+    # SAME trace-key the assembly aggregation shuffled on (exchange reuse,
+    # AQE skew splitting) instead of OOMing the driver on a forced broadcast.
+    # Operators can pin either behavior via that threshold; tests/test_plans.py
+    # asserts the broadcast shape at sampled-keep sizes.
+    #
     # Join on the int64 trace-key pair when both sides carry it (16-byte
     # fixed keys, no per-span string hashing); the hex trace_id then comes
     # from the build side for matched (non-drop) rows only.

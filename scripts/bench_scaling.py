@@ -38,30 +38,49 @@ def run_level(cores: int, dataset: str, repeats: int) -> dict:
 
 
 def main() -> None:
-    dataset = sys.argv[1] if len(sys.argv) > 1 else "bench0.4"
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    n_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    n4_cores = int(sys.argv[4]) if len(sys.argv) > 4 else n_cores * 4
+    dataset = sys.argv[1] if len(sys.argv) > 1 else "bench1.6"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    levels = [int(x) for x in sys.argv[3:]] or [2, 8, 32]
 
-    # generate once up front so neither level pays generation cost
+    # generate once up front so no level pays generation cost
     sys.path.insert(0, REPO)
     from otel_tail_sampler_spark.sources.generator import ensure_dataset
 
     ensure_dataset(dataset)
 
-    n = run_level(n_cores, dataset, repeats)
-    n4 = run_level(n4_cores, dataset, repeats)
-    eff = (n4["spans_per_sec"] / n["spans_per_sec"]) / 4.0
+    runs = {c: run_level(c, dataset, repeats) for c in levels}
+    for c, r in runs.items():
+        print(json.dumps(r))
+
+    def eff(a: int, b: int) -> float:
+        return round(
+            (runs[b]["spans_per_sec"] / runs[a]["spans_per_sec"]) / (b / a), 3
+        )
+
+    pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
+    effs = {f"{a}->{b}": eff(a, b) for a, b in pairs}
+    primary = pairs[0]
+    e_primary = effs[f"{primary[0]}->{primary[1]}"]
     result = {
-        "metric": "traces/sec decision throughput, N vs 4N cores",
+        "metric": "spans/sec decision throughput at multiple core counts",
         "dataset": dataset,
-        "N": n,
-        "4N": n4,
-        "scaling_efficiency": round(eff, 3),
-        "pass_0.8_gate": eff >= 0.8,
+        "levels": runs,
+        "scaling_efficiency": effs,
+        "primary_pair": list(primary),
+        "pass_0.8_gate": e_primary >= 0.8,
     }
     print(json.dumps(result, indent=2))
 
+    n, n4 = runs[primary[0]], runs[primary[1]]
+    rows = "\n".join(
+        f"| {c} | {r['warm_sec']} | {r['traces_per_sec']:,} | {r['spans_per_sec']:,} |"
+        for c, r in runs.items()
+    )
+    extra_pairs = "\n".join(
+        f"* {a} -> {b} cores: efficiency **{effs[f'{a}->{b}']}**"
+        for a, b in pairs[1:]
+    )
+    raw = "\n".join(f"`{json.dumps(r)}`" for r in runs.values())
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
@@ -70,40 +89,47 @@ def main() -> None:
 Per the north rule, the two-cluster-size criterion is evidenced by running the
 identical `spark-submit` job (full decision pipeline: vectorized parse ->
 trace assembly -> policy decisions -> route -> per-sink counts) on the SAME
-input at two parallelism levels in separate JVMs. Warm time = min of
-{repeats} in-JVM repeats (first-run page-fault/codegen cost excluded; the
-steady-state engine rate is the metric).
+input at multiple parallelism levels in separate JVMs (each JVM capped with
+-XX:ActiveProcessorCount so a local[N] run is a faithful N-core executor
+analog). Warm time = min of {repeats} in-JVM repeats (first-run
+page-fault/codegen cost excluded; the steady-state engine rate is the metric).
 
 Dataset: `{dataset}` — {n['n_spans']:,} spans / {n['n_traces']:,} traces,
 heavy-hitter skew shape (1% of traces with 2000 spans,
 scripts/load_simulation.rs:52-55).
 
-| level | cores | warm sec | traces/sec | spans/sec |
-|---|---|---|---|---|
-| N  | {n['cores']}  | {n['warm_sec']} | {n['traces_per_sec']:,} | {n['spans_per_sec']:,} |
-| 4N | {n4['cores']} | {n4['warm_sec']} | {n4['traces_per_sec']:,} | {n4['spans_per_sec']:,} |
+| cores | warm sec | traces/sec | spans/sec |
+|---|---|---|---|
+{rows}
 
-**Scaling efficiency** = rate(4N) / (4 x rate(N)) = **{eff:.3f}**
-(gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+**Primary N-vs-4N pair: {primary[0]} vs {primary[1]} cores.**
+Scaling efficiency = rate({primary[1]}c) / ({primary[1] // primary[0]} x
+rate({primary[0]}c)) = **{e_primary}**
+(gate: >= 0.8 -> {"PASS" if e_primary >= 0.8 else "FAIL"})
+
+Also measured (published, not the headline — see below):
+{extra_pairs}
 
 Reference anchor (BASELINE.md): claimed 100K-500K spans/sec single node
 (README.md:443-444). This build reaches {n4['spans_per_sec']:,.0f} spans/sec
-at {n4['cores']} cores on the skewed shape (701K spans/sec at 16 cores).
+at {n4['cores']} cores on the skewed shape.
 
-## Why N=2 vs 4N=8 cores
+## Why the primary pair is {primary[0]} vs {primary[1]} cores (and 8 vs 32 is published but not the gate)
 
 The protocol stands in for N vs 4N EXECUTORS (north rule). On this single box,
-thread counts past ~16 REGRESS absolute throughput (measured: 16c=4.4s,
-32c=8.9s on the same job) because all threads share one memory bus and the
-sandbox's page-fault path serializes under concurrency — a multi-socket
-cluster of separate executors does not have this artifact (each executor
-brings its own memory bandwidth). 2 vs 8 cores is the largest 4x step where
-per-core memory bandwidth is not the binding constraint, making it the
-faithful single-box analog of adding executors. Full sweep (bench0.1,
-3.08M spans, warm): 2c=12.8s, 4c=6.6s, 8c=5.1s, 16c=4.4s, 32c=8.9s.
+thread counts past ~16 REGRESS absolute throughput because all threads share
+one memory bus and the sandbox's page-fault path serializes under concurrency
+(measured above and in the full sweep below) — a multi-socket cluster of
+separate executors does not have this artifact (each executor brings its own
+memory bandwidth and page-fault path). {primary[0]} vs {primary[1]} cores is
+the largest 4x step where per-core memory bandwidth is not the binding
+constraint, making it the faithful single-box analog of adding executors; the
+8 vs 32 pair is reported above so the hardware ceiling is visible rather than
+hidden. Full sweep (bench0.1, 3.08M spans, warm):
+2c=12.8s, 4c=6.6s, 8c=5.1s, 16c=4.4s, 32c=8.9s.
 
-Raw: `{json.dumps(n)}`
-`{json.dumps(n4)}`
+Raw:
+{raw}
 """
         )
     print("wrote BENCH/BASELINE.md")
