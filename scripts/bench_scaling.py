@@ -23,8 +23,13 @@ def run_level(cores: int, dataset: str, repeats: int) -> dict:
         "--master", f"local[{cores}]",
         # a real N-core executor JVM sees N CPUs; in local[N] on a 32-CPU box
         # the JVM otherwise sizes GC/JIT/common pools for 32 — cap it so each
-        # parallelism level is a faithful N-core executor analog
-        "--driver-java-options", f"-XX:ActiveProcessorCount={cores}",
+        # parallelism level is a faithful N-core executor analog. Direct
+        # memory scales with concurrent Arrow/netty buffers (~per task), so
+        # the 1 GiB default OOMs at 32 threads — size it with the level.
+        "--driver-java-options",
+        f"-XX:ActiveProcessorCount={cores} "
+        f"-XX:MaxDirectMemorySize={max(2, cores // 4)}g",
+        "--driver-memory", "16g",
         os.path.join(REPO, "scripts", "scaling_job.py"),
         str(cores), dataset, str(repeats),
     ]
@@ -48,9 +53,16 @@ def main() -> None:
 
     ensure_dataset(dataset)
 
-    runs = {c: run_level(c, dataset, repeats) for c in levels}
-    for c, r in runs.items():
-        print(json.dumps(r))
+    runs = {}
+    for c in levels:
+        try:
+            runs[c] = run_level(c, dataset, repeats)
+            print(json.dumps(runs[c]))
+        except Exception as ex:  # a failed level must not void the others
+            print(f"LEVEL {c} FAILED: {str(ex)[:500]}")
+    levels = [c for c in levels if c in runs]
+    if len(levels) < 2:
+        raise SystemExit("need at least two successful levels")
 
     def eff(a: int, b: int) -> float:
         return round(
