@@ -826,6 +826,35 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ).select("id_a", "id_b", "n_bands_shared")
 
 
+def q_trace_readiness(spark, sf_dir):
+    """P4 (batch form, iceberg.rs:447-480 / memory.rs:185-228): a trace is
+    'ready' when inactive past the threshold. Batch 'now' = the dataset's max
+    event time (deterministic), threshold 30s; both engines derive the cutoff
+    from the data, no wall clock."""
+    t = _traces(spark, sf_dir)
+    cutoff = t.agg(F.max("max_timestamp_ms")).collect()[0][0]
+    return t.select(
+        "trace_id",
+        (F.col("max_timestamp_ms") + 30_000 <= F.lit(cutoff)).alias("ready"),
+    )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected-components cluster dedup over the LSH pair graph:
+    component_id = min doc_id reachable (iterative min-label propagation
+    with per-round lineage truncation); singletons map to themselves."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=6).select(
+        "id_a", "id_b"
+    )
+    return dedup_components(pairs, all_ids=docs)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash 16-bit fingerprints per document."""
     from otel_tail_sampler_spark.operators.dedup import simhash
@@ -913,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
         "exported_dedup_anti": q_exported_dedup_anti,
+        "trace_readiness": q_trace_readiness,
         "force_rules": q_force_rules,
         # relational operators on driver testdata
         "events_session_agg": q_events_session_agg,
@@ -931,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1108,6 +1139,22 @@ def oracle_sql() -> dict[str, str]:
     band_keys = ", ".join(
         f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS band{b}" for b in range(6)
     )
+    lsh_ctes = f"""sh AS (
+              SELECT doc_id, {_shingle_sql(3)} AS shingles
+              FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+            ),
+            sigs AS (SELECT doc_id, {sig12} FROM sh),
+            bands AS (SELECT doc_id, {band_keys} FROM sigs),
+            long AS (
+              SELECT doc_id, band, key FROM bands
+              UNPIVOT (key FOR band IN (band0, band1, band2, band3, band4, band5))
+            ),
+            lsh_pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+              FROM long a JOIN long b ON a.band = b.band AND a.key = b.key
+                                     AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )"""
 
     return {
         "parse_spans": f"""
@@ -1383,6 +1430,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substring(trace_id, 1, 4))::BIGINT % 2 = 1
             GROUP BY 1
         """,
+        "trace_readiness": S
+        + f"""
+            SELECT trace_id,
+                   max_timestamp_ms + 30000 <=
+                     (SELECT max(timestamp_ms) FROM '{sp}') AS ready
+            FROM summaries
+        """,
         "events_session_agg": """
             SELECT user_id, count(*) AS event_count,
                    epoch_ms(min(ts)) AS min_ts_ms,
@@ -1510,20 +1564,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "minhash_lsh_pairs": f"""
-            WITH sh AS (
-              SELECT doc_id, {_shingle_sql(3)} AS shingles
-              FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+            WITH {lsh_ctes}
+            SELECT id_a, id_b, n_bands_shared FROM lsh_pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {lsh_ctes},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs
             ),
-            sigs AS (SELECT doc_id, {sig12} FROM sh),
-            bands AS (SELECT doc_id, {band_keys} FROM sigs),
-            long AS (
-              SELECT doc_id, band, key FROM bands
-              UNPIVOT (key FOR band IN (band0, band1, band2, band3, band4, band5))
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT a AS doc_id, least(min(b), a) AS component_id
+              FROM reach GROUP BY a
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
-            FROM long a JOIN long b ON a.band = b.band AND a.key = b.key
-                                   AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+            SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "simhash": f"""
             WITH ex AS (
