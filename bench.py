@@ -32,10 +32,24 @@ def _pipeline_spans_per_sec(spark, tokenized_path: str, salt_buckets=None) -> tu
     # otherwise be plan-matched and reused, hiding parse+assembly cost
     t0 = time.time()
     res = run_pipeline(spark, tokenized_path, E.ENTRY_CFG, salt_buckets=salt_buckets)
-    counts = res.routed.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-    decision_metrics(res.decisions).collect()
+    # ONE action: union the two tiny metric tables so sink-row counts and
+    # per-policy trace counts materialize in a single job (one driver
+    # round-trip instead of two serial ones — same shape as scaling_job.py)
+    rows = (
+        res.routed.groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("rows"))
+        .unionByName(
+            decision_metrics(res.decisions)
+            .select(
+                F.col("sink").alias("decision"), F.col("trace_count").alias("n")
+            )
+            .withColumn("kind", F.lit("traces"))
+        )
+        .collect()
+    )
     elapsed = time.time() - t0
-    n_spans = sum(r["n"] for r in counts)
+    n_spans = sum(r["n"] for r in rows if r["kind"] == "rows")
     return elapsed, n_spans
 
 
