@@ -839,6 +839,23 @@ def q_trace_readiness(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish (word runs / digit runs / punctuation pieces)
+    token counts. Spark splits on lookaround boundaries; the oracle counts
+    the equivalent maximal-run matches (RE2 has no lookarounds)."""
+    from otel_tail_sampler_spark.operators.text import (
+        token_count_bpe_ish,
+        token_count_ws,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected-components cluster dedup over the LSH pair graph:
     component_id = min doc_id reachable (iterative min-label propagation
@@ -966,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
         "lsh_topk_approx": q_lsh_topk_approx,
@@ -1656,6 +1674,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, width, height, n_frames, sample_rate,
                    n_samples, px_sum, px_min, px_max
             FROM '{media_truth}'
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END)::INT AS n_ws,
+                   len(regexp_extract_all(text,
+                       '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]'))::INT AS n_bpe
+            FROM documents
         """,
         "doc_quality": f"""
             WITH w AS (
