@@ -901,6 +901,27 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force (the small-N verify path)."""
+    from otel_tail_sampler_spark.operators.dedup import embedding_dup_pairs
+
+    p = embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup via banded hyperplane LSH (the scale path): sign-bit
+    band buckets -> candidate join on (band, key) -> exact cosine verify.
+    Deterministic planes (seed 42) make the whole plan SQL-expressible, so
+    unlike most ANN paths this one is hash-checked, not rows-only."""
+    from otel_tail_sampler_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    p = embedding_dup_pairs_lsh(
+        _emb(spark, sf_dir), dim=64, threshold=0.4, n_bands=4, band_bits=4, seed=42
+    )
+    return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_text_stats(spark, sf_dir):
     """Token counts + language-ID heuristic + fingerprint per document."""
     from otel_tail_sampler_spark.operators.text import (
@@ -982,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1147,6 +1170,21 @@ def oracle_sql() -> dict[str, str]:
             f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
         )
     simhash_fp = " + ".join(f"(CASE WHEN b{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(16))
+
+    # same deterministic hyperplanes as embedding_dup_pairs_lsh (seed 42);
+    # repr() round-trips each rounded double exactly, so DuckDB parses the
+    # identical IEEE754 values the Spark plan uses as literals
+    from otel_tail_sampler_spark.operators.similarity import hyperplanes
+
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(hyperplanes(64, 16, 42))
+    )
+    cosd = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
 
     minhash8 = ", ".join(
         f"list_min([md5(s || '|{i}') for s in shingles])" for i in range(8)
@@ -1648,6 +1686,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cosd} AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+        """,
+        "embedding_neardup_lsh": f"""
+            WITH planes(pid, pv) AS (VALUES {plane_rows}),
+            bk AS (
+              SELECT e.vec_id AS id, p.pid // 4 AS band,
+                     string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+                                     THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS key
+              FROM embeddings e CROSS JOIN planes p
+              GROUP BY e.vec_id, p.pid // 4
+            ),
+            cand AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+            ),
+            scored AS (
+              SELECT id_a, id_b, {cosd} AS cos
+              FROM cand
+              JOIN embeddings a ON a.vec_id = id_a
+              JOIN embeddings b ON b.vec_id = id_b)
+            SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
         """,
         "text_stats": f"""
             SELECT doc_id,

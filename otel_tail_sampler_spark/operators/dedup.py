@@ -391,3 +391,62 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the 100 TB scale path.
+
+    Candidate generation is all-pairs-free: each vector gets ``n_bands``
+    bucket keys (sign bits of ``band_bits`` random-hyperplane projections,
+    Charikar 2002); pairs colliding in ANY band are candidates. Only
+    (band, key, id) triples shuffle through the candidate join — vectors
+    are joined back AFTER the pair set is deduplicated, so the wide
+    embedding column never rides the band explosion. The exact cosine
+    filter then runs on the (small) candidate set, like the MinHash-LSH
+    -> ngram-Jaccard composition above.
+
+    Recall < 1 by construction (a pair missed by every band is lost);
+    tune n_bands/band_bits for the recall/cost point. Deterministic given
+    the seed, so the full plan remains oracle-checkable in SQL.
+    """
+    from otel_tail_sampler_spark.operators.similarity import _sign_bits, hyperplanes
+
+    planes = hyperplanes(dim, n_bands * band_bits, seed)
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _sign_bits(
+                    F.col("_v"), planes[b * band_bits : (b + 1) * band_bits]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    tagged = base.select("_id", F.explode(band_keys).alias("_bk"))
+    cand = (
+        tagged.alias("l")
+        .join(tagged.alias("r"), F.col("l._bk") == F.col("r._bk"))
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

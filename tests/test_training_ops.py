@@ -87,6 +87,30 @@ def test_embedding_dup_pairs(spark, emb):
     assert (pairs["cosine"] >= 0.999).all()
 
 
+def test_embedding_dup_pairs_lsh(spark, emb):
+    # exact duplicates project to identical sign bits in every band, so the
+    # banded-LSH path has recall 1.0 on them by construction
+    base = emb.limit(10)
+    dup = base.withColumn("vec_id", F.col("vec_id") + 700)
+    both = base.unionByName(dup)
+    got = D.embedding_dup_pairs_lsh(both, dim=64, threshold=0.999).toPandas()
+    planted = {(int(a), int(a) + 700) for a in base.toPandas()["vec_id"]}
+    assert planted <= {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+
+    # on the raw corpus the LSH candidates are a SUBSET of the brute pairs
+    brute = D.embedding_dup_pairs(emb, threshold=0.4).toPandas()
+    lsh = D.embedding_dup_pairs_lsh(emb, dim=64, threshold=0.4).toPandas()
+    bp = {(a, b) for a, b in zip(brute["id_a"], brute["id_b"])}
+    lp = {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lp <= bp
+
+    # scale shape: candidate generation is an equi-join on (band, key) —
+    # no cartesian/nested-loop stage anywhere in the plan
+    plan = D.embedding_dup_pairs_lsh(emb, dim=64, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # --- similarity --------------------------------------------------------------
 
 
