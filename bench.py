@@ -107,6 +107,7 @@ def main() -> None:
         "minhash_lsh_pairs",
         "simhash",
         "embedding_topk",
+        "embedding_neardup_lsh",
         "doc_quality",
     ]
     qs = E.queries()

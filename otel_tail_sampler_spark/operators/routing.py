@@ -74,16 +74,22 @@ def route_spans(spans: DataFrame, decided: DataFrame) -> DataFrame:
         if "parse_ok" in spans.columns
         else F.col("decision").isNull()
     )
-    return out.withColumns(
-        {
-            "decision": F.when(bad, F.lit("malformed")).otherwise(
-                F.coalesce(F.col("decision"), F.lit(DROP_SINK))
-            ),
-            "decision_policy": F.when(bad, F.lit("parse_error")).otherwise(
-                F.coalesce(F.col("decision_policy"), F.lit(DROP_POLICY))
-            ),
-        }
-    )
+    override = {
+        "decision": F.when(bad, F.lit("malformed")).otherwise(
+            F.coalesce(F.col("decision"), F.lit(DROP_SINK))
+        ),
+        "decision_policy": F.when(bad, F.lit("parse_error")).otherwise(
+            F.coalesce(F.col("decision_policy"), F.lit(DROP_POLICY))
+        ),
+    }
+    if "trace_id" in out.columns and "trace_id" not in join_keys:
+        # spans carry UNgated int keys (with_routing_key): a malformed row
+        # whose junk key slots collide with a real trace would otherwise
+        # surface that trace's hex id from the build side
+        override["trace_id"] = F.when(bad, F.lit(None).cast("string")).otherwise(
+            F.col("trace_id")
+        )
+    return out.withColumns(override)
 
 
 def route_spans_semi(spans: DataFrame, decided: DataFrame, sink: str) -> DataFrame:
