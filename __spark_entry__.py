@@ -901,6 +901,13 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints, k=4 window=5."""
+    from otel_tail_sampler_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force (the small-N verify path)."""
     from otel_tail_sampler_spark.operators.dedup import embedding_dup_pairs
@@ -1005,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1692,6 +1700,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cosd} AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+        """,
+        "winnow_fingerprints": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 4
+                          THEN [md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w) - 2)]
+                          ELSE [md5(array_to_string(w, ' '))] END AS h
+              FROM d),
+            wins AS (
+              SELECT doc_id,
+                     [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
+              FROM g)
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
         """,
         "embedding_neardup_lsh": f"""
             WITH planes(pid, pv) AS (VALUES {plane_rows}),

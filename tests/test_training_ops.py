@@ -172,6 +172,30 @@ def test_token_counts(spark):
     assert by[3] == (2, 5)  # a , b c !
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): documents sharing a run
+    of >= k + window - 1 words share at least one fingerprint; identical
+    docs have identical fingerprint sets; and the plan is shuffle-free."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, f"PREFIX one two three {shared} alpha beta"),
+        (2, f"totally different lead-in words here {shared} and another tail"),
+        (3, f"PREFIX one two three {shared} alpha beta"),  # identical to 1
+        (4, "tiny doc"),  # shorter than k words -> whole-text fallback
+        (5, "unrelated content about spark catalyst optimizer internals only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.winnow_fingerprints(df, k=4, window=5).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared 14-word run must share a fingerprint"
+    assert by_doc[1] == by_doc[3], "identical docs -> identical fingerprints"
+    assert len(by_doc[4]) == 1  # single whole-text gram
+    assert not (by_doc[5] & by_doc[1])
+    # per-doc-local: no exchange anywhere in the physical plan
+    plan = T.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat is in the house and it is warm"),
