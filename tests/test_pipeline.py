@@ -104,6 +104,62 @@ def test_disjoint_and_complete_routing(result):
     assert sum(per_sink.values()) == total
 
 
+def test_empty_input_pipeline(spark, tmp_path):
+    """Zero-row input: the whole pipeline (parse -> assemble -> decide ->
+    route -> write + metrics) must produce empty-but-well-formed outputs,
+    not crash — the first partition a real cluster job hits is often empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otel_tail_sampler_spark.plans.pipeline import run_and_write
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+            "source": pa.array([], pa.string()),
+        }
+    )
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, src)
+    out = str(tmp_path / "out")
+    m = run_and_write(spark, src, out, CFG)
+    assert m["row_metrics"].count() == 0
+    assert m["decision_metrics"].count() == 0
+    # a zero-row dynamic-partition write legitimately produces no files;
+    # reading such a dir back needs an explicit schema (Spark can't infer)
+    import glob
+
+    assert glob.glob(f"{out}/routed/**/*.parquet", recursive=True) == []
+
+
+def test_all_malformed_input(spark, tmp_path):
+    """Every row malformed: everything routes to the malformed sink with
+    decision_policy=parse_error, tokens preserved verbatim, no decisions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [[1, 2, 3], [], [0] * 14 + [99, 65], [0] * 14 + [1, 200, 0]]
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(rows))],
+            "tokens": pa.array(rows, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) for r in rows], pa.int32()),
+            "source": ["s"] * len(rows),
+        }
+    )
+    src = str(tmp_path / "bad.parquet")
+    pq.write_table(tbl, src)
+    res = run_pipeline(spark, src, CFG)
+    routed = res.routed.select("doc_id", "decision", "decision_policy", "tokens").toPandas()
+    assert (routed["decision"] == "malformed").all()
+    assert (routed["decision_policy"] == "parse_error").all()
+    got = {d: list(t) for d, t in zip(routed["doc_id"], routed["tokens"])}
+    assert got == {f"d{i}": r for i, r in enumerate(rows)}
+    assert res.decided.count() == 0
+
+
 def test_iceberg_feature_gate(spark, small_dataset):
     """Iceberg is feature-gated: with the runtime jar present the routed sink
     round-trips through writeTo with the reference partition spec; without it
