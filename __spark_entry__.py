@@ -591,6 +591,23 @@ def q_exported_dedup_anti(spark, sf_dir):
     return fresh.groupBy("decision").agg(F.count(F.lit(1)).alias("trace_count"))
 
 
+def q_exported_dedup_ttl(spark, sf_dir):
+    """J2 with Redis-SETEX-parity TTL: manifest rows older than now-ttl no
+    longer suppress re-export (evaluator.rs:358-380). Manifest = even-bucket
+    traces stamped with their own min_timestamp_ms; now = data max ts,
+    ttl = 30 min — all data-derived, fully deterministic."""
+    from otel_tail_sampler_spark.operators.enrichment import dedup_against_exported
+
+    d = _decided(spark, sf_dir)
+    exported = d.filter(
+        F.pmod(F.conv(F.substring("trace_id", 1, 4), 16, 10).cast("long"), F.lit(2))
+        == 0
+    ).select("trace_id", F.col("min_timestamp_ms").alias("exported_at_ms"))
+    now_ms = d.agg(F.max("max_timestamp_ms")).collect()[0][0]
+    fresh = dedup_against_exported(d, exported, ttl_ms=30 * 60 * 1000, now_ms=now_ms)
+    return fresh.groupBy("decision").agg(F.count(F.lit(1)).alias("trace_count"))
+
+
 # --- relational operators on driver testdata tables ---------------------------
 
 
@@ -987,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
         "exported_dedup_anti": q_exported_dedup_anti,
+        "exported_dedup_ttl": q_exported_dedup_ttl,
         "trace_readiness": q_trace_readiness,
         "force_rules": q_force_rules,
         # relational operators on driver testdata
@@ -1492,6 +1510,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT decision, count(*) AS trace_count
             FROM final
             WHERE ('0x' || substring(trace_id, 1, 4))::BIGINT % 2 = 1
+            GROUP BY 1
+        """,
+        "exported_dedup_ttl": S
+        + """
+            SELECT decision, count(*) AS trace_count
+            FROM final
+            WHERE ('0x' || substring(trace_id, 1, 4))::BIGINT % 2 = 1
+               OR min_timestamp_ms <
+                  (SELECT max(max_timestamp_ms) FROM summaries) - 1800000
             GROUP BY 1
         """,
         "trace_readiness": S

@@ -43,15 +43,38 @@ def enrich_with_dimension(
     return facts.join(F.broadcast(dim), key, how)
 
 
-def dedup_against_exported(decided: DataFrame, exported: DataFrame) -> DataFrame:
-    """J2: drop traces whose trace_id is already in the exported manifest."""
-    return decided.join(
-        exported.select("trace_id"), "trace_id", "left_anti"
-    )
+def dedup_against_exported(
+    decided: DataFrame,
+    exported: DataFrame,
+    ttl_ms: int | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """J2: drop traces whose trace_id is already in the exported manifest.
+
+    ``ttl_ms`` reproduces the Redis SETEX expiry of the reference
+    (``exported:{trace_id}`` keys live export_ttl_seconds,
+    /root/reference/src/sampling/evaluator.rs:358-380): manifest entries
+    stamped before ``now_ms - ttl_ms`` no longer suppress re-export.
+    ``now_ms`` must be passed explicitly — the operator stays deterministic
+    and therefore oracle-checkable; wall-clock defaults are the caller's
+    business, never the plan's. The TTL filter prunes the manifest BEFORE
+    the anti-join shuffle, so an aged-out manifest costs nothing.
+    """
+    m = exported
+    if ttl_ms is not None:
+        if now_ms is None:
+            raise ValueError("ttl_ms requires an explicit now_ms (determinism)")
+        m = m.filter(
+            F.col("exported_at_ms").isNull()  # unstamped rows never expire
+            | (F.col("exported_at_ms") >= F.lit(now_ms - ttl_ms))
+        )
+    return decided.join(m.select("trace_id"), "trace_id", "left_anti")
 
 
-def mark_exported(decided: DataFrame) -> DataFrame:
-    """Manifest rows to append after a successful keep-sink commit."""
+def mark_exported(decided: DataFrame, exported_at_ms: int | None = None) -> DataFrame:
+    """Manifest rows to append after a successful keep-sink commit.
+    ``exported_at_ms`` stamps the batch (explicit for determinism); rows
+    with a null stamp never expire under a TTL filter."""
     return decided.filter(F.col("decision") == "keep").select(
-        "trace_id", F.lit(None).cast("long").alias("exported_at_ms")
+        "trace_id", F.lit(exported_at_ms).cast("long").alias("exported_at_ms")
     )

@@ -95,3 +95,39 @@ def test_buffer_stats(spans):
     rows = {r["status_code"]: r for r in buffer_stats(spans).collect()}
     assert set(rows) == {0, 2}
     assert rows[0]["est_bytes"] == rows[0]["span_count"] * 1024
+
+
+def test_exported_manifest_ttl(spark):
+    """J2 TTL parity with Redis SETEX (evaluator.rs:358-380): fresh manifest
+    rows suppress re-export, aged-out rows do not, null-stamped rows never
+    expire, and the TTL path demands an explicit now_ms (determinism)."""
+    import pytest as _pt
+
+    from otel_tail_sampler_spark.operators.enrichment import (
+        dedup_against_exported,
+        mark_exported,
+    )
+
+    decided = spark.createDataFrame(
+        [("t1", "keep"), ("t2", "keep"), ("t3", "keep"), ("t4", "keep")],
+        "trace_id string, decision string",
+    )
+    manifest = spark.createDataFrame(
+        [("t1", 1_000_000), ("t2", 5_000_000), ("t3", None)],
+        "trace_id string, exported_at_ms long",
+    )
+    now, ttl = 6_000_000, 2_000_000  # cutoff 4_000_000: t1 aged out
+    got = {
+        r["trace_id"]
+        for r in dedup_against_exported(decided, manifest, ttl_ms=ttl, now_ms=now).collect()
+    }
+    assert got == {"t1", "t4"}  # t2 fresh, t3 unstamped -> still suppressed
+    # without a TTL every manifest row suppresses
+    got_plain = {r["trace_id"] for r in dedup_against_exported(decided, manifest).collect()}
+    assert got_plain == {"t4"}
+    with _pt.raises(ValueError, match="now_ms"):
+        dedup_against_exported(decided, manifest, ttl_ms=ttl)
+    # mark_exported stamps the batch explicitly
+    stamped = mark_exported(decided, exported_at_ms=now).toPandas()
+    assert set(stamped["trace_id"]) == {"t1", "t2", "t3", "t4"}
+    assert (stamped["exported_at_ms"] == now).all()
