@@ -107,6 +107,22 @@ def main() -> None:
         D.embedding_dup_pairs_lsh(emb, dim=64, threshold=0.4),
     )
 
+    from otel_tail_sampler_spark.plans import silver as SV
+
+    spark.sql("DROP TABLE IF EXISTS plan_audit_silver")
+    SV.materialize_parsed(
+        spark, paths["tokenized"], "plan_audit_silver", buckets=8,
+        path=os.path.join(REPO, ".data", "plan_audit_silver"),
+    )
+    section(
+        "Silver bucketed re-assembly",
+        "What to check: NO Exchange between the bucketed scan and the final\n"
+        "HashAggregate — the table's bucket spec (trace_k1, trace_k2) equals\n"
+        "the group key, so re-decide runs never pay the assembly shuffle.",
+        SV.assemble_from_silver(spark, "plan_audit_silver"),
+    )
+    spark.sql("DROP TABLE IF EXISTS plan_audit_silver")
+
     from otel_tail_sampler_spark.operators.text import winnow_fingerprints
 
     section(
