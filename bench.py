@@ -99,6 +99,31 @@ def main() -> None:
     queries["pipeline_skewed"] = round(t_skew, 3)
     skew_rate = n_skew / t_skew
 
+    # silver re-decide fast path: materialization (one Arrow parse, bucketed
+    # write) is SETUP, untimed — the measured number is what a rule update
+    # costs once the silver table exists: bucketed scan -> agg (no exchange)
+    # -> decide. Compare with pipeline_uniform (same data, full path).
+    from otel_tail_sampler_spark.plans import silver as SV
+
+    spark.sql("DROP TABLE IF EXISTS bench_silver")
+    SV.materialize_parsed(
+        spark, paths["tokenized"], "bench_silver", buckets=int(cpus) if cpus.isdigit() else 32
+    )
+    t0 = time.time()
+    SV.redecide_from_silver(spark, "bench_silver", E.ENTRY_CFG).groupBy(
+        "decision"
+    ).agg(F.count(F.lit(1))).collect()
+    t_silver = time.time() - t0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        SV.redecide_from_silver(spark, "bench_silver", E.ENTRY_CFG).groupBy(
+            "decision"
+        ).agg(F.count(F.lit(1))).collect()
+        t_silver = min(t_silver, time.time() - t0)
+    queries["silver_redecide"] = round(t_silver, 3)
+    spark.sql("DROP TABLE IF EXISTS bench_silver")
+
     # secondary operator benchmarks on the driver's testdata at sf_dir
     secondary = [
         "tpch_q1_pricing",
