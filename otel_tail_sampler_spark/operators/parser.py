@@ -307,6 +307,14 @@ def trace_key_exprs(tokens: Column) -> tuple[Column, Column]:
     )
 
 
+def day_expr(tokens: Column) -> Column:
+    """JVM-side UTC day from the timestamp header slots (8,9) — the
+    reference's ``day(timestamp_ms)`` Iceberg partition dimension
+    (/root/reference/src/storage/iceberg.rs:317-334) without decoding the
+    span. Null (default partition) for rows too short to carry slot 9."""
+    return F.to_date(F.timestamp_millis(_i64_word(tokens, 8)))
+
+
 def hex_from_keys(k1: Column, k2: Column) -> Column:
     """(trace_k1, trace_k2) -> canonical 32-char uppercase hex trace_id.
     %016X of a signed long prints its two's-complement (= unsigned) value,

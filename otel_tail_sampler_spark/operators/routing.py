@@ -115,17 +115,30 @@ def sink_row_metrics(routed: DataFrame) -> DataFrame:
     ).withColumnRenamed("decision", "sink")
 
 
-def write_routed(routed: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
+def write_routed(
+    routed: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    day_partition: bool = False,
+) -> None:
     """Single-pass fan-out: one partitioned write, three sinks.
 
     Writing ``partitionBy('decision')`` produces keep/ drop/ overflow/
     directories in one job instead of three filtered writes (one scan, not
     three). Iceberg deployments replace this with three ``writeTo(...)``
     appends or a partitioned table on the decision column.
+
+    ``day_partition=True`` adds the reference's time dimension
+    (``day(timestamp_ms)``, iceberg.rs:317-334): the day is derived
+    JVM-side from the token header slots (parser.day_expr — the routing
+    path stays Arrow-free), so every time-ranged sink read gets partition
+    pruning instead of a full scan. Rows without a decodable timestamp
+    (malformed) land in the null default partition of their sink.
     """
-    (
-        routed.write.mode("overwrite")
-        .partitionBy("decision")
-        .format(fmt)
-        .save(out_dir)
-    )
+    df, cols = routed, ["decision"]
+    if day_partition and "tokens" in routed.columns:
+        from otel_tail_sampler_spark.operators.parser import day_expr
+
+        df = routed.withColumn("day", day_expr(F.col("tokens")))
+        cols = ["decision", "day"]
+    df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(out_dir)

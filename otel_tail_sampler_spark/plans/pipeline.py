@@ -110,6 +110,7 @@ def run_and_write(
     input_path: str,
     out_dir: str,
     cfg: SamplerConfig | None = None,
+    day_partition: bool = False,
     **kw,
 ) -> dict[str, DataFrame]:
     """Run + write sinks, decision metrics, per-sink row metrics, the exported
@@ -133,7 +134,7 @@ def run_and_write(
             for s in SINK_NAMES
         ],
     )
-    write_routed(routed_obs, os.path.join(out_dir, "routed"))
+    write_routed(routed_obs, os.path.join(out_dir, "routed"), day_partition=day_partition)
     counts = obs.get  # available after the write action
 
     dm = decision_metrics(res.decisions)

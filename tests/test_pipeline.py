@@ -7,6 +7,7 @@ invariant of BASELINE.json input_hint).
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from otel_tail_sampler_spark.operators.policies import (
     CardinalityPolicy,
@@ -180,3 +181,27 @@ def test_iceberg_feature_gate(spark, small_dataset):
     I.write_routed_iceberg(res.routed, "lake.db.routed_test")
     back = I.read_iceberg(spark, "lake.db.routed_test")
     assert back.count() == res.routed.count()
+
+
+def test_day_partitioned_sink_prunes(spark, small_dataset, tmp_path):
+    """day(timestamp_ms) sink dimension (Iceberg spec parity): day dirs
+    exist under each sink, a day-filtered read shows partition pruning in
+    the plan, and total row counts are conserved."""
+    import glob
+
+    from otel_tail_sampler_spark.plans.pipeline import run_and_write
+
+    out = str(tmp_path / "out")
+    run_and_write(spark, small_dataset["tokenized"], out, CFG, day_partition=True)
+    day_dirs = glob.glob(f"{out}/routed/decision=*/day=*")
+    assert day_dirs, "expected decision=/day= partition directories"
+
+    routed = spark.read.parquet(f"{out}/routed")
+    total = routed.count()
+    assert total == spark.read.parquet(small_dataset["tokenized"]).count()
+
+    days = sorted(r["day"] for r in routed.select("day").distinct().collect())
+    one = routed.filter(F.col("day") == days[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    assert 0 < one.count() <= total
