@@ -205,3 +205,28 @@ def test_day_partitioned_sink_prunes(spark, small_dataset, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
     assert 0 < one.count() <= total
+
+
+def test_overflow_sink_end_to_end(spark, small_dataset, tmp_path):
+    """Rate-limit overflow reaches its own sink directory through
+    run_and_write, and the three-way split conserves every span row."""
+    from otel_tail_sampler_spark.plans.pipeline import run_and_write
+
+    cfg = SamplerConfig(
+        error=ErrorPolicy(sample_rate=1.0),
+        latency=LatencyPolicy(threshold_ms=4000, sample_rate=1.0),
+        cardinality=CardinalityPolicy(max_span_count=100),
+        rate_limit_per_key=5,
+    )
+    out = str(tmp_path / "out")
+    m = run_and_write(spark, small_dataset["tokenized"], out, cfg)
+    rows = {r["sink"]: r["row_count"] for r in m["row_metrics"].collect()}
+    assert rows.get("overflow", 0) > 0, "rate limit must overflow some traces"
+    disk = spark.read.parquet(f"{out}/routed")
+    per_sink = {
+        r["decision"]: r["count"] for r in disk.groupBy("decision").count().collect()
+    }
+    assert per_sink["overflow"] == rows["overflow"]
+    assert sum(per_sink.values()) == spark.read.parquet(
+        small_dataset["tokenized"]
+    ).count()
