@@ -925,6 +925,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
 
 
+def q_winnow_poly(spark, sf_dir):
+    """Vectorized char-gram Karp-Rabin winnowing (scale path), k=16 w=8."""
+    from otel_tail_sampler_spark.operators.text import winnow_fingerprints_poly
+
+    return winnow_fingerprints_poly(_docs(spark, sf_dir), k=16, window=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force (the small-N verify path)."""
     from otel_tail_sampler_spark.operators.dedup import embedding_dup_pairs
@@ -1031,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_poly": q_winnow_poly,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1196,6 +1204,11 @@ def oracle_sql() -> dict[str, str]:
             f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
         )
     simhash_fp = " + ".join(f"(CASE WHEN b{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(16))
+
+    # Karp-Rabin power literals shared with winnow_fingerprints_poly
+    from otel_tail_sampler_spark.operators.text import _poly_powers
+
+    pwl = "[" + ", ".join(str(x) for x in _poly_powers(16, 257, 1_048_573)) + "]::DOUBLE[]"
 
     # same deterministic hyperplanes as embedding_dup_pairs_lsh (seed 42);
     # repr() round-trips each rounded double exactly, so DuckDB parses the
@@ -1742,6 +1755,28 @@ def oracle_sql() -> dict[str, str]:
             wins AS (
               SELECT doc_id,
                      [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
+              FROM g)
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        "winnow_poly": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents),
+            cp AS (
+              SELECT doc_id, [unicode(t[i:i]) for i in range(1, len(t) + 1)] AS c
+              FROM d),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(c) >= 16
+                          THEN [list_dot_product(c[i:i+15]::DOUBLE[], {pwl})::BIGINT % 1048573
+                                for i in range(1, len(c) - 14)]
+                          ELSE [list_dot_product(c::DOUBLE[], ({pwl})[16-len(c)+1:16])::BIGINT % 1048573]
+                     END AS h
+              FROM cp),
+            wins AS (
+              SELECT doc_id,
+                     [list_min(h[j:j+7]) for j in range(1, greatest(len(h) - 7, 1) + 1)] AS fps
               FROM g)
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
         """,

@@ -192,3 +192,72 @@ def winnow_fingerprints(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         fn, f"doc_id {id_type}, fp string"
     )
+
+
+def _poly_powers(k: int, base: int, mod: int) -> list[int]:
+    """base^(k-1-j) % mod for j in 0..k-1 — shared by the numpy kernel and
+    the DuckDB oracle so both hash with literally the same coefficients."""
+    return [pow(base, k - 1 - j, mod) for j in range(k)]
+
+
+def winnow_fingerprints_poly(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+    base: int = 257,
+    mod: int = 1_048_573,
+) -> DataFrame:
+    """Winnowing over CHARACTER k-grams with a Karp-Rabin polynomial hash —
+    the vectorized scale path next to the md5 word-gram variant above.
+
+    winnow_fingerprints pays one hashlib call per gram (Python-rate: fine
+    for the oracle shape, the bottleneck at 10^12 docs). Here every per-doc
+    step is a numpy primitive: code points -> sliding_window_view(k) ->
+    row-dot with the power vector -> %% mod -> sliding window-min ->
+    unique. Same shuffle-free mapInPandas plan.
+
+    The constants are chosen so every intermediate is integer-exact BOTH in
+    int64 and in IEEE754 doubles (code point < 128, power < mod < 2^20 =>
+    product < 2^27, 16-term sum < 2^31), which is what lets the DuckDB
+    oracle — list_dot_product over the same power literals, computed in
+    doubles — match bit-for-bit. ASCII contract as the rest of the corpus
+    ops: non-ASCII code points are replaced ('?') before hashing.
+    """
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    pw = np.array(_poly_powers(k, base, mod), np.int64)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws.sub(" ", str(text)).strip().lower()
+                cp = np.frombuffer(
+                    norm.encode("ascii", "replace"), np.uint8
+                ).astype(np.int64)
+                if len(cp) >= k:
+                    wv = np.lib.stride_tricks.sliding_window_view(cp, k)
+                    hs = (wv * pw).sum(axis=1) % mod
+                else:  # short doc: one whole-text hash (aligned power tail)
+                    hs = np.array([(cp * pw[k - len(cp) :]).sum() % mod])
+                if len(hs) <= window:
+                    uniq = [int(hs.min())]
+                else:
+                    wm = np.lib.stride_tricks.sliding_window_view(hs, window)
+                    uniq = np.unique(wm.min(axis=1)).tolist()
+                ids.extend([did] * len(uniq))
+                fps.extend(uniq)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, f"doc_id {id_type}, fp long"
+    )

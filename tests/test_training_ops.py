@@ -196,6 +196,28 @@ def test_winnow_fingerprints(spark):
     assert "Exchange" not in plan
 
 
+def test_winnow_poly(spark):
+    """Char-gram Karp-Rabin winnowing: shared runs >= k + window - 1 chars
+    share a fingerprint; identical docs match exactly; plan shuffle-free;
+    hashes stay inside the integer-exact-in-double envelope (< mod)."""
+    shared = "x" * 5 + "the quick brown fox jumps over the lazy dog" + "y" * 5
+    rows = [
+        (1, f"aaa {shared} bbb"),
+        (2, f"zzzz completely different prefix {shared} qqq"),
+        (3, f"aaa {shared} bbb"),
+        (4, "tiny"),  # shorter than k chars -> whole-text hash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.winnow_fingerprints_poly(df, k=16, window=8).toPandas()
+    assert (out["fp"] >= 0).all() and (out["fp"] < 1_048_573).all()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2]
+    assert by_doc[1] == by_doc[3]
+    assert len(by_doc[4]) == 1
+    plan = T.winnow_fingerprints_poly(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat is in the house and it is warm"),
