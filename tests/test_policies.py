@@ -248,3 +248,28 @@ def test_rate_limit_two_level_exact_and_plan_shape(spark):
         spec = blk.split("\n")[0]
         if "_rl_salt" not in spec:
             assert re.search(r"_r1#\d+ <= 7", blk), f"unsalted window w/o cap:\n{blk[:400]}"
+
+
+def test_hash_sampling_rate_monotonicity(spark):
+    """Consistent hash-based sampling invariants: the keep set at rate r1 is
+    a SUBSET of the keep set at r2 > r1 (same traces, no reshuffling of who
+    is sampled as rates move — the property that makes rate changes safe in
+    production), the sampled fraction tracks the rate, and 0.0/1.0 are
+    exact bounds."""
+    rows = [_row(f"T{i:04d}", err=True, errs=1) for i in range(400)]
+    df = _summary_df(spark, rows)
+
+    def keep_set(rate):
+        cfg = SamplerConfig(error=ErrorPolicy(sample_rate=rate))
+        return {
+            r["trace_id"]
+            for r in decide(df, cfg).filter("decision = 'keep'").collect()
+        }
+
+    k00, k03, k06, k10 = (keep_set(r) for r in (0.0, 0.3, 0.6, 1.0))
+    assert k00 == set()
+    assert len(k10) == 400
+    assert k03 <= k06 <= k10  # nested: hfrac(trace) < rate is monotone in rate
+    # fraction tracks the rate (md5 fractions are ~uniform; generous bounds)
+    assert 0.18 <= len(k03) / 400 <= 0.42
+    assert 0.48 <= len(k06) / 400 <= 0.72
