@@ -258,6 +258,7 @@ def run_streaming_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int | None = 8,
     strategy: str = "session_window",
+    route_spans_from: str | None = None,
 ):
     """Bounded streaming run (Trigger.AvailableNow): emits decided trace
     summaries for every session the watermark closed, written per micro-batch
@@ -265,6 +266,17 @@ def run_streaming_pipeline(
 
     ``strategy``: 'session_window' (watermarked session aggregation) or
     'state' (applyInPandasWithState per-trace timeout, state.rs:293-325).
+
+    ``route_spans_from``: path of the bronze tokenized table. When set, each
+    micro-batch also exports the KEPT traces' raw span rows (token arrays
+    verbatim) into routed_keep/ — the reference's "export buffered spans on
+    decision" move (evaluator.rs:244, spans buffered in Redis/memory) with
+    the lake as the span buffer: a stream-static semi-join per batch instead
+    of a stateful span buffer, which is the piece that cannot scale to
+    10^12 spans of state. At scale the bronze table should be
+    day-partitioned (operators.routing.write_routed day_partition) so the
+    decided batch's time bounds prune the static side's scan.
+
     Returns the StreamingQuery after awaiting termination.
     """
     cfg = cfg or SamplerConfig(rate_limit_per_key=None)
@@ -278,6 +290,7 @@ def run_streaming_pipeline(
         raise ValueError(f"unknown streaming strategy: {strategy}")
 
     decided_dir = os.path.join(out_dir, "decided")
+    routed_dir = os.path.join(out_dir, "routed_keep")
     ckpt = os.path.join(out_dir, "_stream_checkpoint")
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -287,6 +300,22 @@ def run_streaming_pipeline(
             .write.mode("append")
             .parquet(decided_dir)
         )
+        if route_spans_from is not None:
+            from otel_tail_sampler_spark.operators.parser import with_routing_key
+
+            kept = out.filter(F.col("decision") == "keep")
+            if kept.isEmpty():
+                return
+            bronze = with_routing_key(spark.read.parquet(route_spans_from))
+            (
+                # semi-join on the int key pair (no per-span hex); the kept
+                # batch is small -> broadcast build side, bronze never shuffles
+                bronze.filter("parse_ok")
+                .join(kept.select("trace_k1", "trace_k2"), ["trace_k1", "trace_k2"], "semi")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(routed_dir)
+            )
 
     writer = (
         sessions.writeStream.outputMode("append")

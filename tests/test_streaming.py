@@ -162,3 +162,41 @@ def test_state_decisions_match_batch_decide(state_stream_result):
     ).set_index("trace_id")
     for _, row in emitted.iterrows():
         assert row["decision"] == decided_o.loc[row["trace_id"], "decision"]
+
+
+def test_streaming_routed_keep_export(spark, tmp_path_factory):
+    """route_spans_from: every kept trace's spans land in routed_keep/ with
+    token arrays verbatim (lake-as-span-buffer export), exactly once, and
+    only for traces the stream decided keep."""
+    data_dir = tmp_path_factory.mktemp("route_in")
+    out_dir = str(tmp_path_factory.mktemp("route_out"))
+    paths = generate_dataset(
+        GenSpec(n_traces=200, spans_per_trace=5, error_rate=0.3, seed=13),
+        str(data_dir),
+    )
+    run_streaming_pipeline(
+        spark,
+        paths["tokenized"],
+        out_dir,
+        CFG,
+        gap_seconds=GAP_S,
+        watermark_delay=f"{DELAY_S} seconds",
+        max_files_per_trigger=3,
+        route_spans_from=paths["tokenized"],
+    )
+    decided = pd.read_parquet(os.path.join(out_dir, "decided"))
+    kept_traces = set(decided.loc[decided["decision"] == "keep", "trace_id"])
+    routed = pd.read_parquet(os.path.join(out_dir, "routed_keep"))
+    assert len(routed), "expected exported keep spans"
+    assert not routed["doc_id"].duplicated().any(), "exactly-once per span row"
+
+    src = pd.read_parquet(paths["tokenized"]).set_index("doc_id")
+    oracle_spans = pd.read_parquet(paths["oracle"])
+    want_docs = set(
+        oracle_spans[oracle_spans["trace_id"].isin(kept_traces)]["doc_id"]
+    )
+    assert set(routed["doc_id"]) == want_docs
+    merged = routed.set_index("doc_id").join(src, rsuffix="_src")
+    assert all(
+        list(a) == list(b) for a, b in zip(merged["tokens"], merged["tokens_src"])
+    )
