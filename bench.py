@@ -135,6 +135,7 @@ def main() -> None:
         "simhash",
         "embedding_topk",
         "embedding_neardup_lsh",
+        "winnow_poly",
         "doc_quality",
     ]
     qs = E.queries()
