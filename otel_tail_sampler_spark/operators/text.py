@@ -157,6 +157,11 @@ def winnow_fingerprints(
     Returns (doc_id, fp) rows, one per distinct retained fingerprint.
     Parity: md5 over ASCII grams and lexicographic min on hex digests are
     engine-identical (DuckDB oracle in __spark_entry__.py).
+
+    This md5 word-gram form pays one hashlib call per gram (Python-rate) —
+    it is the oracle-reference shape. For the 10^12-doc scale path use
+    ``winnow_fingerprints_poly`` below: same winnowing guarantee, every
+    per-doc step a numpy primitive, still bit-exactly oracle-checked.
     """
     import hashlib
     import re
