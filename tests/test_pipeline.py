@@ -230,3 +230,41 @@ def test_overflow_sink_end_to_end(spark, small_dataset, tmp_path):
     assert sum(per_sink.values()) == spark.read.parquet(
         small_dataset["tokenized"]
     ).count()
+
+
+def test_run_job_cli(spark, small_dataset, tmp_path):
+    """scripts/run_job.py (the spark-submit entrypoint) wires config JSON ->
+    SamplerConfig -> run_and_write and emits the run-metrics JSON line."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import run_job
+
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(
+            {
+                "sampling": {
+                    "error": {"sample_rate": 0.8},
+                    "latency": {"threshold_ms": 4000, "sample_rate": 1.0},
+                    "cardinality": {"max_span_count": 100},
+                }
+            },
+            fh,
+        )
+    out = run_job.main(
+        [
+            "--input", small_dataset["tokenized"],
+            "--out", str(tmp_path / "out"),
+            "--config", cfg_path,
+            "--salt", "auto",
+            "--day-partition",
+        ]
+    )
+    assert out["status"] == "ok"
+    assert out["routed_keep"] > 0 and out["routed_drop"] > 0
+    assert out["routed_keep"] + out["routed_drop"] == out["input_rows"]
+    import glob
+
+    assert glob.glob(str(tmp_path / "out" / "routed" / "decision=*" / "day=*"))
