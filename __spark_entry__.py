@@ -925,6 +925,16 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: the doc_id-ordered token stream cut into 256-token
+    training examples (canonical pre-training batch prep over the
+    input_hint table shape)."""
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+    tok = _dataset(sf_dir)["tokenized"]
+    return pack_sequences(spark.read.parquet(tok), max_len=256)
+
+
 def q_winnow_poly(spark, sf_dir):
     """Vectorized char-gram Karp-Rabin winnowing (scale path), k=16 w=8."""
     from otel_tail_sampler_spark.operators.text import winnow_fingerprints_poly
@@ -1039,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_poly": q_winnow_poly,
+        "pack_sequences": q_pack_sequences,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1757,6 +1768,32 @@ def oracle_sql() -> dict[str, str]:
                      [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
               FROM g)
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        "pack_sequences": f"""
+            WITH o AS (
+              SELECT tokens, len(tokens) AS n,
+                     coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            pieces AS (
+              SELECT off, n, tokens,
+                     unnest(range(0, CASE WHEN n = 0 THEN 0
+                       ELSE (off + n - 1) // 256 - off // 256 + 1 END)) AS k
+              FROM o
+            ),
+            cut AS (
+              SELECT off // 256 + k AS example_id,
+                     greatest(off, (off // 256 + k) * 256) AS gs,
+                     tokens[greatest(off, (off // 256 + k) * 256) - off + 1
+                            : least(off + n, (off // 256 + k + 1) * 256) - off] AS sl
+              FROM pieces
+            ),
+            ex AS (
+              SELECT example_id, flatten(list(sl ORDER BY gs)) AS tokens
+              FROM cut GROUP BY example_id
+            )
+            SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
         """,
         "winnow_poly": f"""
             WITH d AS (

@@ -1,0 +1,58 @@
+"""Sequence packing: conservation, exact stream order, fixed example
+lengths, and independence from the input's physical partitioning."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+L = 64
+
+
+@pytest.fixture(scope="module")
+def tokenized(spark, small_dataset):
+    return spark.read.parquet(small_dataset["tokenized"])
+
+
+def _stream(df):
+    """Reference: the doc_id-ordered concatenated token stream, locally."""
+    pdf = df.select("doc_id", "tokens").toPandas().sort_values("doc_id")
+    return [int(t) for toks in pdf["tokens"] for t in toks]
+
+
+def test_pack_conserves_and_cuts_exactly(spark, tokenized):
+    packed = pack_sequences(tokenized, max_len=L).toPandas().sort_values("example_id")
+    stream = _stream(tokenized)
+    assert packed["n_tok"].sum() == len(stream)
+    # every example except the last is exactly L tokens; ids are dense 0..k
+    assert list(packed["example_id"]) == list(range(len(packed)))
+    assert (packed["n_tok"].iloc[:-1] == L).all()
+    # byte-for-byte stream order
+    got = [int(t) for toks in packed["tokens"] for t in toks]
+    assert got == stream
+
+
+def test_pack_is_partitioning_independent(spark, tokenized):
+    a = pack_sequences(tokenized, max_len=L).toPandas().sort_values("example_id")
+    b = (
+        pack_sequences(tokenized.repartition(3), max_len=L)
+        .toPandas()
+        .sort_values("example_id")
+    )
+    assert list(a["example_id"]) == list(b["example_id"])
+    assert all(
+        list(x) == list(y) for x, y in zip(a["tokens"], b["tokens"])
+    )
+
+
+def test_pack_empty_and_tiny(spark):
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    assert pack_sequences(empty, max_len=L).count() == 0
+    tiny = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", []), ("c", [4])],
+        "doc_id string, tokens array<int>",
+    )
+    out = pack_sequences(tiny, max_len=L).collect()
+    assert len(out) == 1
+    assert list(out[0]["tokens"]) == [1, 2, 3, 4]
