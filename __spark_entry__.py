@@ -935,6 +935,25 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(spark.read.parquet(tok), max_len=256)
 
 
+MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
+
+
+def q_vocab_histogram(spark, sf_dir):
+    """Unigram token histogram over the tokenized table (vocab stats)."""
+    from otel_tail_sampler_spark.operators.corpus import vocab_histogram
+
+    tok = _dataset(sf_dir)["tokenized"]
+    return vocab_histogram(spark.read.parquet(tok))
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: per-source md5-fraction rates."""
+    from otel_tail_sampler_spark.operators.corpus import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(docs, MIX_RATES).select("doc_id", "lang", "source")
+
+
 def q_winnow_poly(spark, sf_dir):
     """Vectorized char-gram Karp-Rabin winnowing (scale path), k=16 w=8."""
     from otel_tail_sampler_spark.operators.text import winnow_fingerprints_poly
@@ -1050,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_poly": q_winnow_poly,
         "pack_sequences": q_pack_sequences,
+        "vocab_histogram": q_vocab_histogram,
+        "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1795,6 +1816,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
         """,
+        "vocab_histogram": f"""
+            SELECT t AS token, count(*) AS freq
+            FROM (SELECT unnest(tokens) AS t
+                  FROM parquet_scan('{paths["tokenized"]}/*.parquet'))
+            GROUP BY 1
+        """,
+        "mixture_sample": "SELECT doc_id, lang, source FROM documents WHERE "
+        + _hfrac_sql("doc_id::VARCHAR", "mixture")
+        + """ < CASE
+        """
+        + "\n".join(
+            f"WHEN source = 'src{i}' THEN {((i % 4) + 1) * 0.25}" for i in range(20)
+        )
+        + " ELSE 0.0 END",
         "winnow_poly": f"""
             WITH d AS (
               SELECT doc_id,

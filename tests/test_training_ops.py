@@ -399,3 +399,24 @@ def test_ngram_jaccard_candidates_first(spark, docs):
     assert shingle_selfjoins_without_id_equality(slow_all)
     # … the candidates-first path must not
     assert not shingle_selfjoins_without_id_equality(fast)
+
+
+def test_corpus_mixture_and_vocab(spark, docs):
+    from otel_tail_sampler_spark.operators.corpus import mixture_sample, vocab_histogram
+
+    # nested keep sets as a source's rate rises; unlisted sources drop
+    lo = mixture_sample(docs, {"src0": 0.3}).toPandas()
+    hi = mixture_sample(docs, {"src0": 0.9}).toPandas()
+    assert set(lo["source"]) <= {"src0"} and set(hi["source"]) <= {"src0"}
+    assert set(lo["doc_id"]) <= set(hi["doc_id"])
+    assert len(hi) <= (docs.filter("source = 'src0'").count())
+
+    # vocab histogram conserves total token count
+    tok = spark.createDataFrame(
+        [("a", [1, 2, 2]), ("b", [2, 3]), ("c", [])],
+        "doc_id string, tokens array<int>",
+    )
+    h = {r["token"]: r["freq"] for r in vocab_histogram(tok).collect()}
+    assert h == {1: 1, 2: 3, 3: 1}
+    top1 = vocab_histogram(tok, top_k=1).collect()
+    assert [(r["token"], r["freq"]) for r in top1] == [(2, 3)]
