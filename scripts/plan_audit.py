@@ -133,6 +133,17 @@ def main() -> None:
         winnow_fingerprints(docs),
     )
 
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+    section(
+        "Sequence packing",
+        "What to check: exactly TWO exchanges — the range repartition that\n"
+        "orders the stream and the example-id aggregation that moves each\n"
+        "token once. No per-token Generate/explode; the python stage emits\n"
+        "one row per document x example intersection.",
+        pack_sequences(spark.read.parquet(paths["tokenized"]), max_len=256),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
