@@ -136,6 +136,7 @@ def main() -> None:
         "embedding_topk",
         "embedding_neardup_lsh",
         "winnow_poly",
+        "pack_sequences",
         "doc_quality",
     ]
     qs = E.queries()
