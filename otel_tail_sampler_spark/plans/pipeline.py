@@ -41,9 +41,17 @@ class PipelineResult:
     routed: DataFrame
 
 
+TOKENIZED_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
 def read_tokenized(spark: SparkSession, path: str) -> DataFrame:
-    """Bounded source scan (S1/S4). Iceberg tables load the same way with
-    format('iceberg'); parquet is the sandbox stand-in."""
+    """Bounded source scan (S1/S4). Parquet dirs are the native bronze;
+    ``.jsonl``/``.json`` loads JSON-lines interchange dumps with the schema
+    ENFORCED (never inferred — inference would scan the data twice and
+    silently widen int32 tokens to long); anything else is treated as an
+    Iceberg table identifier (format('iceberg'), feature-gated)."""
+    if path.endswith((".jsonl", ".json")):
+        return spark.read.schema(TOKENIZED_DDL).json(path)
     if path.endswith(".parquet") or os.path.isdir(path):
         return spark.read.parquet(path)
     return spark.read.format("iceberg").load(path)

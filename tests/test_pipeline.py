@@ -268,3 +268,24 @@ def test_run_job_cli(spark, small_dataset, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "out" / "routed" / "decision=*" / "day=*"))
+
+
+def test_jsonl_source_matches_parquet(spark, small_dataset, tmp_path):
+    """JSON-lines bronze interchange: identical decisions and routed counts
+    to the parquet source for the same rows (schema enforced, not inferred)."""
+    import pandas as pd
+
+    src = pd.read_parquet(small_dataset["tokenized"])
+    src["tokens"] = src["tokens"].map(list)
+    jl = str(tmp_path / "bronze.jsonl")
+    src.to_json(jl, orient="records", lines=True)
+
+    a = run_pipeline(spark, small_dataset["tokenized"], CFG)
+    b = run_pipeline(spark, jl, CFG)
+    da = {(r["trace_id"], r["decision"]) for r in a.decided.collect()}
+    db = {(r["trace_id"], r["decision"]) for r in b.decided.collect()}
+    assert da == db
+    assert b.routed.groupBy("decision").count().collect() != []
+    assert (
+        b.spans.schema["tokens"].dataType.simpleString() == "array<int>"
+    ), "schema must be enforced int32, not inferred long"
