@@ -904,6 +904,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination: best 3-gram containment per eval doc.
+
+    Deterministic split of the documents table (doc_id % 10 == 0 -> eval);
+    exact-dup eval docs report containment 1.0 and flag contaminated.
+    """
+    from otel_tail_sampler_spark.operators.dedup import contamination
+
+    docs = _docs(spark, sf_dir)
+    return contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        shingle_n=3,
+        threshold=0.2,
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for 4 fixed query vectors."""
     from otel_tail_sampler_spark.operators.similarity import cosine_topk
@@ -1063,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1747,6 +1765,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.35
+        """,
+        "contamination": f"""
+            WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            ev AS (
+              SELECT doc_id AS eval_id, unnest(list_distinct({_shingle_sql(3)})) AS s
+              FROM d WHERE doc_id % 10 = 0
+            ),
+            tr AS (
+              SELECT doc_id AS train_id, unnest(list_distinct({_shingle_sql(3)})) AS s
+              FROM d WHERE doc_id % 10 <> 0
+            ),
+            sizes AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
+            inter AS (
+              SELECT eval_id, train_id, count(*) AS i
+              FROM ev JOIN tr USING (s) GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT eval_id, train_id, i,
+                     row_number() OVER (PARTITION BY eval_id
+                                        ORDER BY i DESC, train_id ASC) AS rn
+              FROM inter
+            )
+            SELECT e.doc_id AS eval_id,
+                   b.train_id AS best_train_id,
+                   round(coalesce(b.i / greatest(s.sz, 1), 0.0), 6) AS containment,
+                   round(coalesce(b.i / greatest(s.sz, 1), 0.0), 6) >= 0.2 AS contaminated
+            FROM documents e
+            LEFT JOIN sizes s ON s.eval_id = e.doc_id
+            LEFT JOIN best b ON b.eval_id = e.doc_id AND b.rn = 1
+            WHERE e.doc_id % 10 = 0
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

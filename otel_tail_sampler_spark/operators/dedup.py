@@ -346,6 +346,70 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- train/eval contamination ------------------------------------------------
+
+
+def contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Decontamination report: per EVAL document, the best-matching train
+    document by n-gram CONTAINMENT (|shingles(eval) ∩ shingles(train)| /
+    |shingles(eval)|) and whether it crosses ``threshold``.
+
+    Containment, not Jaccard: a short benchmark prompt fully contained in a
+    long training document is contamination even though Jaccard is tiny.
+
+    Scale shape: the pair stream is an EQUI-join on the shingle value —
+    never an all-pairs product — so cost scales with shingle-frequency
+    fanout like the Jaccard verify stage above; only (id, shingle) rows
+    shuffle. Ties on containment break toward the smallest train_id so the
+    report is deterministic and oracle-checkable.
+
+    -> (eval_id, best_train_id, containment, contaminated); eval docs with
+    no shared shingle report (null, 0.0, false).
+    """
+    she = evals.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sht = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = she.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        she.join(sht, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    # max by (shared count, then smallest train_id) — integer struct ordering
+    best = inter.groupBy("eval_id").agg(
+        F.max(F.struct(F.col("_i"), (-F.col("train_id")).alias("_nt"))).alias("_b")
+    )
+    out = (
+        evals.select(F.col(id_col).alias("eval_id"))
+        .join(sizes, "eval_id", "left")
+        .join(best, "eval_id", "left")
+        .select(
+            "eval_id",
+            (-F.col("_b._nt")).alias("best_train_id"),
+            F.round(
+                F.coalesce(
+                    F.col("_b._i") / F.greatest(F.col("_sz"), F.lit(1)), F.lit(0.0)
+                ),
+                6,
+            ).alias("containment"),
+        )
+        .withColumn("contaminated", F.col("containment") >= F.lit(threshold))
+    )
+    return out
+
+
 # --- embedding cosine near-dup -------------------------------------------------
 
 

@@ -401,6 +401,52 @@ def test_ngram_jaccard_candidates_first(spark, docs):
     assert not shingle_selfjoins_without_id_equality(fast)
 
 
+def test_contamination_containment_and_ties(spark):
+    """Containment (not Jaccard) semantics, min-train-id tie-break, and the
+    no-overlap / too-short-for-shingles edge cases."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "lorem ipsum dolor sit amet consectetur"),
+            # superset of doc 1 -> same intersection count, larger id
+            (3, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely different words entirely here now"),
+            (102, "xy zz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in D.contamination(train, evals, shingle_n=3, threshold=0.5).collect()
+    }
+    assert len(out) == 3
+    # fully contained in both 1 and 3 (tie on count) -> smallest train id wins
+    assert out[100]["best_train_id"] == 1
+    assert out[100]["containment"] == 1.0
+    assert out[100]["contaminated"]
+    # no shared shingle
+    assert out[101]["best_train_id"] is None
+    assert out[101]["containment"] == 0.0
+    assert not out[101]["contaminated"]
+    # 2 words < shingle_n -> empty shingle set, reported clean
+    assert out[102]["best_train_id"] is None
+    assert out[102]["containment"] == 0.0
+    assert not out[102]["contaminated"]
+    # containment ignores train-doc length: eval 100 vs train 3 would have
+    # jaccard well below 1.0, containment must still be 1.0 (doc 3 superset)
+    only3 = D.contamination(
+        train.filter(F.col("doc_id") == 3), evals, shingle_n=3, threshold=0.5
+    ).collect()
+    r100 = [r for r in only3 if r["eval_id"] == 100][0]
+    assert r100["best_train_id"] == 3 and r100["containment"] == 1.0
+
+
 def test_corpus_mixture_and_vocab(spark, docs):
     from otel_tail_sampler_spark.operators.corpus import mixture_sample, vocab_histogram
 
