@@ -1016,6 +1016,14 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: dup-word / top-word / top-bigram
+    fractions per document."""
+    from otel_tail_sampler_spark.operators.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality features: digit/stopword ratios + mean word length."""
     from otel_tail_sampler_spark.operators.text import quality_features
@@ -1090,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
+        "repetition_signals": q_repetition_signals,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
@@ -1919,6 +1928,39 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings a ON a.vec_id = id_a
               JOIN embeddings b ON b.vec_id = id_b)
             SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
+        """,
+        "repetition_signals": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+            ),
+            per_w AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+            wa AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_words,
+                     count(*)::BIGINT AS nd, max(c)::BIGINT AS tw
+              FROM per_w GROUP BY 1
+            ),
+            b AS (
+              SELECT doc_id,
+                     unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS bg
+              FROM (SELECT doc_id, string_split(trim(text), ' ') AS wl FROM documents)
+              WHERE len(wl) >= 2
+            ),
+            per_b AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+            ba AS (
+              SELECT doc_id, sum(c)::BIGINT AS nb, max(c)::BIGINT AS tb
+              FROM per_b GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(wa.n_words, 0)::BIGINT AS n_words,
+                   round(coalesce((wa.n_words - wa.nd) / greatest(wa.n_words, 1), 0.0), 6)
+                     AS dup_word_frac,
+                   round(coalesce(wa.tw / greatest(wa.n_words, 1), 0.0), 6)
+                     AS top_word_frac,
+                   round(coalesce(ba.tb / greatest(ba.nb, 1), 0.0), 6)
+                     AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN wa USING (doc_id)
+            LEFT JOIN ba USING (doc_id)
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -107,6 +107,74 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public):
+
+    - ``dup_word_frac``   — fraction of word occurrences that are repeats
+      (1 - distinct/total); high => boilerplate / keyword stuffing.
+    - ``top_word_frac``   — most frequent word's share of all words.
+    - ``top_bigram_frac`` — most frequent 2-gram's share of all bigrams.
+
+    Scale shape: one explode + two hash aggregations per signal family
+    (per-(doc,gram) counts, then per-doc), all map-side combinable on the
+    doc id — no windows, no joins on text, linear at any corpus size. The
+    bigram stream comes from ``zip_with`` over two slices of the words
+    array (argument expressions evaluate once per row, unlike outer-scope
+    references inside ``transform`` lambdas which re-evaluate per element).
+
+    Docs with <2 words have no bigrams; their ``top_bigram_frac`` is 0.0.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    wc = docs.select(F.col(id_col), F.explode(w).alias("_w"))
+    per_w = wc.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    wagg = per_w.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.max("_c").alias("_top_w"),
+    )
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bc = docs.filter(F.size(w) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("_b")
+    )
+    per_b = bc.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    bagg = per_b.groupBy(id_col).agg(
+        F.sum("_c").alias("_n_bigrams"), F.max("_c").alias("_top_b")
+    )
+    denom_w = F.greatest(F.col("n_words"), F.lit(1))
+    return (
+        docs.select(id_col)
+        .join(wagg, id_col, "left")
+        .join(bagg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(
+                F.coalesce(
+                    (F.col("n_words") - F.col("_n_distinct")) / denom_w, F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("_top_w") / denom_w, F.lit(0.0)), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_top_b") / F.greatest(F.col("_n_bigrams"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 (exact identity) + a rolling-hash
     analog (min/max over word-window md5s — order-sensitive, local-change

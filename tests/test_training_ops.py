@@ -401,6 +401,31 @@ def test_ngram_jaccard_candidates_first(spark, docs):
     assert not shingle_selfjoins_without_id_equality(fast)
 
 
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa"),  # 4 words, 1 distinct; bigram 'aa aa' x3
+            (2, "a b c d"),  # all distinct; 3 distinct bigrams
+            (3, "x"),  # single word: no bigrams
+            (4, "spam spam ham spam eggs"),  # top word 3/5; 'spam spam' 1/4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_signals(docs).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 0.25
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 0.4  # (5 - 3 distinct) / 5
+    assert out[4]["top_word_frac"] == 0.6
+    assert out[4]["top_bigram_frac"] == 0.25
+
+
 def test_contamination_containment_and_ties(spark):
     """Containment (not Jaccard) semantics, min-train-id tie-break, and the
     no-overlap / too-short-for-shingles edge cases."""
