@@ -1024,6 +1024,33 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub with deterministically planted PII (synthetic docs carry
+    none) so the regex parity is actually exercised: one email, one IPv4,
+    one phone per doc, derived from doc_id."""
+    from otel_tail_sampler_spark.operators.text import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 tel 555-867-5309"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality features: digit/stopword ratios + mean word length."""
     from otel_tail_sampler_spark.operators.text import quality_features
@@ -1099,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
         "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
@@ -1268,6 +1296,36 @@ def oracle_sql() -> dict[str, str]:
     from otel_tail_sampler_spark.operators.text import _poly_powers
 
     pwl = "[" + ", ".join(str(x) for x in _poly_powers(16, 257, 1_048_573)) + "]::DOUBLE[]"
+
+    # PII scrub: same RE2-safe literals as the Spark operator, applied in the
+    # same sequential order (counts observe the partially-redacted stream).
+    from otel_tail_sampler_spark.operators.text import PII_ORDER, PII_PATTERNS
+
+    redact_sql = """
+        WITH s0 AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
+                      || (doc_id % 200)::VARCHAR || '.0.1 tel 555-867-5309' AS t0
+          FROM documents
+        )"""
+    prev = "s0"
+    carried = []
+    for i, name in enumerate(PII_ORDER):
+        pat = PII_PATTERNS[name].replace("'", "''")
+        cols = ", ".join(["doc_id"] + carried) if carried else "doc_id"
+        redact_sql += f""",
+        s{i + 1} AS (
+          SELECT {cols},
+                 len(regexp_extract_all(t{i}, '{pat}'))::INT AS n_{name},
+                 regexp_replace(t{i}, '{pat}', '<{name.upper()}>', 'g') AS t{i + 1}
+          FROM s{i}
+        )"""
+        carried.append(f"n_{name}")
+        prev = f"s{i + 1}"
+    redact_sql += f"""
+        SELECT doc_id, {', '.join(carried)}, md5(t{len(PII_ORDER)}) AS redacted_md5
+        FROM {prev}
+    """
 
     # same deterministic hyperplanes as embedding_dup_pairs_lsh (seed 42);
     # repr() round-trips each rounded double exactly, so DuckDB parses the
@@ -1929,6 +1987,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = id_b)
             SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
         """,
+        "redact_pii": redact_sql,
         "repetition_signals": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents

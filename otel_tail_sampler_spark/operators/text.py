@@ -175,6 +175,38 @@ def repetition_signals(
     )
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the same literals run
+# in Java regex (Spark) and RE2 (DuckDB oracle) with identical semantics.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+PII_ORDER = ["email", "phone", "ipv4"]  # phone before ipv4: disjoint separators
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / US-style phone numbers / IPv4 literals, replacing each
+    with ``<EMAIL>`` / ``<PHONE>`` / ``<IPV4>``; adds per-category match
+    counts and the redacted text.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` column expressions —
+    single projection, no shuffle, linear scan at any corpus size.
+    Categories apply in ``PII_ORDER`` so the output is well-defined when
+    patterns could otherwise overlap.
+    """
+    t = F.col(text_col)
+    out = docs
+    red = t
+    for name in PII_ORDER:
+        pat = PII_PATTERNS[name]
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted", red)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 (exact identity) + a rolling-hash
     analog (min/max over word-window md5s — order-sensitive, local-change

@@ -401,6 +401,32 @@ def test_ngram_jaccard_candidates_first(spark, docs):
     assert not shingle_selfjoins_without_id_equality(fast)
 
 
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org now"),
+            (2, "call 555-123-4567 from 192.168.0.1"),
+            (3, "no pii here at all"),
+            (4, "ip 10.0.0.1 twice 10.0.0.2 and 1.2.3.4.5 runs long"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 0
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "call <PHONE> from <IPV4>"
+    assert out[3]["redacted"] == "no pii here at all"
+    assert (
+        out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+    )
+    # the 5-octet run greedily matches its first four octets ('.' is a
+    # word boundary) — Java and RE2 agree on this; both clean IPs caught
+    assert out[4]["n_ipv4"] == 3
+    assert "<IPV4> twice <IPV4>" in out[4]["redacted"]
+    assert "<IPV4>.5" in out[4]["redacted"]
+
+
 def test_repetition_signals_hand_computed(spark):
     docs = spark.createDataFrame(
         [
