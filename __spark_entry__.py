@@ -952,6 +952,22 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(spark.read.parquet(tok), max_len=256)
 
 
+def q_assign_shards(spark, sf_dir):
+    """Shard assignment + within-shard shuffle order over the packed
+    examples (8 shards). Oracle derives the example-id domain arithmetically:
+    packing emits exactly ceil(total_tokens / max_len) contiguous ids."""
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards,
+        pack_sequences,
+    )
+
+    tok = _dataset(sf_dir)["tokenized"]
+    packed = pack_sequences(spark.read.parquet(tok), max_len=256)
+    return assign_shards(packed, n_shards=8).select(
+        "example_id", "shard", "shard_pos"
+    )
+
+
 MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
 
 
@@ -1122,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_poly": q_winnow_poly,
         "pack_sequences": q_pack_sequences,
+        "assign_shards": q_assign_shards,
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
@@ -1930,6 +1947,29 @@ def oracle_sql() -> dict[str, str]:
               FROM cut GROUP BY example_id
             )
             SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
+        """,
+        "assign_shards": f"""
+            WITH n AS (
+              SELECT ceil(sum(len(tokens)) / 256.0)::BIGINT AS n
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            ids AS (
+              SELECT unnest(range(0, (SELECT n FROM n)))::BIGINT AS example_id
+            ),
+            h AS (
+              SELECT example_id,
+                     md5(example_id::VARCHAR || '|' || 'shards') AS hx
+              FROM ids
+            ),
+            s AS (
+              SELECT example_id, hx,
+                     (('0x' || substring(hx, 1, 15))::BIGINT % 8)::INT AS shard
+              FROM h
+            )
+            SELECT example_id, shard,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY hx, example_id) - 1)::INT AS shard_pos
+            FROM s
         """,
         "vocab_histogram": f"""
             SELECT t AS token, count(*) AS freq

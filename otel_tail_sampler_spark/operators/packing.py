@@ -111,3 +111,43 @@ def pack_sequences(
             "example_id", "tokens", F.size("tokens").cast("int").alias("n_tok")
         )
     )
+
+
+def assign_shards(
+    examples: DataFrame,
+    n_shards: int,
+    id_col: str = "example_id",
+    seed: str = "shards",
+) -> DataFrame:
+    """Deterministic shard assignment + shuffled within-shard order for
+    training examples: adds ``shard`` (md5(id)%n_shards) and ``shard_pos``
+    (0-based rank of the md5 hex within the shard).
+
+    A reader streaming each shard in ``shard_pos`` order sees examples
+    decorrelated from the packed document order — the standard "global
+    shuffle" a training run needs — while both columns are pure functions
+    of the example id: stable across re-runs, partition counts, and
+    engines (md5 hex ranks identically in Spark and DuckDB).
+
+    Scale shape: the ``row_number`` window partitions on ``shard``, so the
+    exchange + in-partition sort is EXACTLY the movement needed to write
+    the shard files afterwards (`repartition(n_shards, shard)
+    .sortWithinPartitions(shard_pos)` reuses the same partitioning). One
+    task holds ~|examples|/n_shards rows; md5 spreads ids uniformly, so
+    skew cannot concentrate a shard. Pick n_shards by target shard file
+    size exactly as any shard writer must.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed)))
+    out = examples.withColumn("_h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("_h"), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("int")
+    ).drop("_h")

@@ -56,3 +56,28 @@ def test_pack_empty_and_tiny(spark):
     out = pack_sequences(tiny, max_len=L).collect()
     assert len(out) == 1
     assert list(out[0]["tokens"]) == [1, 2, 3, 4]
+
+
+def test_assign_shards_deterministic_uniform_and_complete(spark):
+    from otel_tail_sampler_spark.operators.packing import assign_shards
+
+    ex = spark.range(1000).withColumnRenamed("id", "example_id")
+    out = assign_shards(ex, n_shards=8).toPandas()
+    # complete, no dup positions: each shard's positions are exactly 0..k-1
+    assert len(out) == 1000
+    for _, g in out.groupby("shard"):
+        assert sorted(g["shard_pos"]) == list(range(len(g)))
+    # pure function of the id: stable under repartitioning
+    out2 = (
+        assign_shards(ex.repartition(7), n_shards=8)
+        .toPandas()
+        .sort_values("example_id")
+        .reset_index(drop=True)
+    )
+    assert out.sort_values("example_id").reset_index(drop=True).equals(out2)
+    # md5 spreads ids: no shard is pathologically over/under-filled
+    counts = out["shard"].value_counts()
+    assert counts.min() > 60 and counts.max() < 190
+    # within-shard order decorrelated from id order (a shuffle, not identity)
+    s0 = out[out["shard"] == 0].sort_values("shard_pos")["example_id"].tolist()
+    assert s0 != sorted(s0)
