@@ -138,6 +138,8 @@ def main() -> None:
         "winnow_poly",
         "pack_sequences",
         "doc_quality",
+        "repetition_signals",
+        "contamination",
     ]
     qs = E.queries()
     for name in secondary:
