@@ -968,6 +968,15 @@ def q_assign_shards(spark, sf_dir):
     )
 
 
+def q_remap_rare_tokens(spark, sf_dir):
+    """OOV collapse: corpus-frequency-1 tokens -> UNK(-1), arrays remapped
+    in place (Zipf tail: ~68% of types are singletons at sf0.01)."""
+    from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
+
+    tok = _dataset(sf_dir)["tokenized"]
+    return remap_rare_tokens(spark.read.parquet(tok), min_freq=2)
+
+
 MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
 
 
@@ -1139,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_poly": q_winnow_poly,
         "pack_sequences": q_pack_sequences,
         "assign_shards": q_assign_shards,
+        "remap_rare_tokens": q_remap_rare_tokens,
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
@@ -1947,6 +1957,36 @@ def oracle_sql() -> dict[str, str]:
               FROM cut GROUP BY example_id
             )
             SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
+        """,
+        "remap_rare_tokens": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            freq AS (
+              SELECT t, count(*) AS c
+              FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1
+            ),
+            rare AS (SELECT t FROM freq WHERE c < 2),
+            ex AS (
+              -- parallel unnest runs in lockstep; scalar range() is a list
+              SELECT doc_id, unnest(tokens) AS t,
+                     unnest(range(1, len(tokens) + 1)) AS pos
+              FROM tok
+            ),
+            m AS (
+              SELECT ex.doc_id, ex.pos,
+                     CASE WHEN rare.t IS NOT NULL THEN -1 ELSE ex.t END AS v,
+                     (rare.t IS NOT NULL)::INT AS u
+              FROM ex LEFT JOIN rare ON ex.t = rare.t
+            ),
+            rb AS (
+              SELECT doc_id, list(v ORDER BY pos) AS toks, sum(u)::INT AS n_unk
+              FROM m GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   coalesce(rb.toks, []::INTEGER[]) AS tokens,
+                   coalesce(rb.n_unk, 0)::INT AS n_unk
+            FROM tok t LEFT JOIN rb USING (doc_id)
         """,
         "assign_shards": f"""
             WITH n AS (

@@ -56,3 +56,63 @@ def mixture_sample(
         pairs += [F.lit(s), F.lit(float(r))]
     rate = F.coalesce(F.create_map(*pairs)[F.col(source_col)], F.lit(0.0))
     return docs.filter(hash_frac(F.col(id_col).cast("string"), seed) < rate)
+
+
+def remap_rare_tokens(
+    df: DataFrame,
+    min_freq: int = 2,
+    unk_id: int = -1,
+    tok_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replace tokens whose CORPUS-WIDE frequency is below ``min_freq``
+    with ``unk_id`` (OOV/UNK collapse before vocabulary finalization).
+    -> (id, tokens remapped in place, n_unk replaced per row).
+
+    Scale shape: global frequencies come from the vocabulary-sized
+    two-phase count above (shuffle carries distinct types, not the
+    corpus). The rare-type set is then LEFT-joined against the
+    posexploded stream and arrays reassemble by position — per Zipf the
+    rare dictionary is far smaller than the stream, so Catalyst/AQE
+    broadcasts it and the only corpus-sized exchange is the reassembly
+    groupBy; each token moves exactly once. A `transform` +
+    literal-array `array_contains` variant would avoid that exchange but
+    scans the rare set per token (O(|rare|) interpreted, unbounded
+    driver literal) — rejected for the general case.
+
+    Docs with empty token arrays pass through with n_unk = 0.
+    """
+    rare = (
+        vocab_histogram(df, tok_col=tok_col)
+        .filter(F.col("freq") < min_freq)
+        .select(F.col("token").alias("_rare"))
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(tok_col)).alias("_pos", "_tok")
+    )
+    marked = ex.join(rare, ex["_tok"] == rare["_rare"], "left").select(
+        id_col,
+        "_pos",
+        F.when(F.col("_rare").isNotNull(), F.lit(unk_id))
+        .otherwise(F.col("_tok"))
+        .alias("_out"),
+        F.col("_rare").isNotNull().cast("int").alias("_is_unk"),
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_out"))),
+            lambda s: s.getField("_out"),
+        ).alias("_toks"),
+        F.sum("_is_unk").cast("int").alias("n_unk"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_toks"), F.array().cast("array<int>")).alias(
+                tok_col
+            ),
+            F.coalesce(F.col("n_unk"), F.lit(0)).alias("n_unk"),
+        )
+    )

@@ -81,3 +81,26 @@ def test_assign_shards_deterministic_uniform_and_complete(spark):
     # within-shard order decorrelated from id order (a shuffle, not identity)
     s0 = out[out["shard"] == 0].sort_values("shard_pos")["example_id"].tolist()
     assert s0 != sorted(s0)
+
+
+def test_remap_rare_tokens(spark):
+    from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 10]),
+            (2, [10, 40]),   # 40 occurs once -> UNK
+            (3, [20, 20]),
+            (4, []),         # empty passthrough
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in remap_rare_tokens(df, min_freq=2).collect()}
+    # freqs: 10->3, 20->3, 30->1, 40->1
+    assert out[1]["tokens"] == [10, 20, -1, 10] and out[1]["n_unk"] == 1
+    assert out[2]["tokens"] == [10, -1] and out[2]["n_unk"] == 1
+    assert out[3]["tokens"] == [20, 20] and out[3]["n_unk"] == 0
+    assert out[4]["tokens"] == [] and out[4]["n_unk"] == 0
+    # custom threshold: min_freq=4 flags everything
+    out4 = {r["doc_id"]: r for r in remap_rare_tokens(df, min_freq=4).collect()}
+    assert out4[1]["tokens"] == [-1, -1, -1, -1]
