@@ -996,6 +996,18 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(docs, MIX_RATES).select("doc_id", "lang", "source")
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """Flagship corpus-prep composition: exact dedup -> length gate
+    (>=20 words) -> repetition gate (dup_word_frac <= 0.6) -> mixture
+    sample. Each signal is oracle-proven standalone; this checks the
+    chain end-to-end."""
+    from otel_tail_sampler_spark.operators.corpus import prepare_corpus
+
+    return prepare_corpus(
+        _docs(spark, sf_dir), MIX_RATES, min_words=20, max_dup_word_frac=0.6
+    )
+
+
 def q_winnow_poly(spark, sf_dir):
     """Vectorized char-gram Karp-Rabin winnowing (scale path), k=16 w=8."""
     from otel_tail_sampler_spark.operators.text import winnow_fingerprints_poly
@@ -1149,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "assign_shards": q_assign_shards,
         "remap_rare_tokens": q_remap_rare_tokens,
+        "prepare_corpus": q_prepare_corpus,
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
@@ -1958,6 +1971,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
         """,
+        "prepare_corpus": f"""
+            WITH winners AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            base AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM documents d JOIN winners USING (doc_id)
+            ),
+            w AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM base
+            ),
+            per_w AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+            wa AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS nd
+              FROM per_w GROUP BY 1
+            ),
+            g AS (
+              SELECT b.doc_id, b.source, wa.n_words,
+                     round((wa.n_words - wa.nd) / greatest(wa.n_words, 1), 6)
+                       AS dup_word_frac
+              FROM base b JOIN wa USING (doc_id)
+              WHERE wa.n_words >= 20 AND wa.n_words <= 5000
+            )
+            SELECT doc_id, source, n_words, dup_word_frac
+            FROM g
+            WHERE dup_word_frac <= 0.6
+              AND {_hfrac_sql("doc_id::VARCHAR", "mixture")} < CASE
+            """
+        + "\n".join(
+            f"WHEN source = 'src{i}' THEN {((i % 4) + 1) * 0.25}" for i in range(20)
+        )
+        + " ELSE 0.0 END",
         "remap_rare_tokens": f"""
             WITH tok AS (
               SELECT doc_id, tokens FROM parquet_scan('{paths["tokenized"]}/*.parquet')

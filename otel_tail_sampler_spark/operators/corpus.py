@@ -116,3 +116,45 @@ def remap_rare_tokens(
             F.coalesce(F.col("n_unk"), F.lit(0)).alias("n_unk"),
         )
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    rates: dict[str, float],
+    min_words: int = 5,
+    max_words: int = 5000,
+    max_dup_word_frac: float = 0.6,
+    seed: str = "mixture",
+) -> DataFrame:
+    """The standard corpus-prep filter chain in one call:
+    exact dedup -> length gate -> repetition gate -> deterministic
+    domain-mixture sampling. -> (doc_id, source, n_words,
+    dup_word_frac) for the surviving documents.
+
+    Composition of already-proven operators, in the cheap-to-expensive
+    order a 100 TB run wants: the md5 dedup and the hash-fraction mixture
+    gate are scan-side (no text moves), and the repetition aggregates run
+    only over dedup survivors. Every signal this chain gates on is
+    oracle-checked standalone (dedup_exact / repetition_signals /
+    mixture_sample), so the composition stays hash-checkable end-to-end.
+
+    Gates use the ROUNDED dup_word_frac the repetition operator reports,
+    keeping the keep-set identical across engines at the boundary.
+    """
+    from otel_tail_sampler_spark.operators.dedup import exact_dedup
+    from otel_tail_sampler_spark.operators.text import repetition_signals
+
+    kept = exact_dedup(docs)
+    rep = repetition_signals(kept).select(
+        "doc_id", "n_words", "dup_word_frac"
+    )
+    gated = (
+        kept.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+        )
+    )
+    return mixture_sample(gated, rates, seed=seed)

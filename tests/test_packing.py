@@ -104,3 +104,23 @@ def test_remap_rare_tokens(spark):
     # custom threshold: min_freq=4 flags everything
     out4 = {r["doc_id"]: r for r in remap_rare_tokens(df, min_freq=4).collect()}
     assert out4[1]["tokens"] == [-1, -1, -1, -1]
+
+
+def test_prepare_corpus_chain(spark):
+    from otel_tail_sampler_spark.operators.corpus import prepare_corpus
+
+    long_clean = " ".join(f"w{i}" for i in range(30))
+    repetitive = " ".join(["spam"] * 30)
+    docs = spark.createDataFrame(
+        [
+            (1, long_clean, "a"),      # survives
+            (2, long_clean, "a"),      # exact dup of 1 -> dropped (min id wins)
+            (3, "too short", "a"),     # length gate
+            (4, repetitive, "a"),      # dup_word_frac = 29/30 > 0.6
+            (5, long_clean + " tail", "zzz"),  # unlisted source -> rate 0.0
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = prepare_corpus(docs, {"a": 1.0}, min_words=20).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_words"] == 30 and out[0]["dup_word_frac"] == 0.0
