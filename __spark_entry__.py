@@ -977,6 +977,29 @@ def q_remap_rare_tokens(spark, sf_dir):
     return remap_rare_tokens(spark.read.parquet(tok), min_freq=2)
 
 
+def q_split_corpus(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment (consistent-hash
+    family: growing the train fraction never reshuffles test)."""
+    from otel_tail_sampler_spark.operators.corpus import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir)).select("doc_id", "source", "split")
+
+
+def q_pack_with_boundaries(spark, sf_dir):
+    """Boundary-aware packing: BOS/EOS wrap (-101/-100) then the 256-token
+    pack — the composition the pack_sequences docstring prescribes."""
+    from otel_tail_sampler_spark.operators.packing import (
+        add_special_tokens,
+        pack_sequences,
+    )
+
+    tok = _dataset(sf_dir)["tokenized"]
+    wrapped = add_special_tokens(
+        spark.read.parquet(tok), bos_id=-101, eos_id=-100
+    )
+    return pack_sequences(wrapped, max_len=256)
+
+
 MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
 
 
@@ -1162,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_shards": q_assign_shards,
         "remap_rare_tokens": q_remap_rare_tokens,
         "prepare_corpus": q_prepare_corpus,
+        "split_corpus": q_split_corpus,
+        "pack_with_boundaries": q_pack_with_boundaries,
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
@@ -1944,6 +1969,43 @@ def oracle_sql() -> dict[str, str]:
                      [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
               FROM g)
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        "split_corpus": f"""
+            SELECT doc_id, source,
+                   CASE WHEN {_hfrac_sql("doc_id::VARCHAR", "split")} < 0.8 THEN 'train'
+                        WHEN {_hfrac_sql("doc_id::VARCHAR", "split")} < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "pack_with_boundaries": f"""
+            WITH t0 AS (
+              SELECT doc_id, [-101] || tokens || [-100] AS tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            o AS (
+              SELECT tokens, len(tokens) AS n,
+                     coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+              FROM t0
+            ),
+            pieces AS (
+              SELECT off, n, tokens,
+                     unnest(range(0, CASE WHEN n = 0 THEN 0
+                       ELSE (off + n - 1) // 256 - off // 256 + 1 END)) AS k
+              FROM o
+            ),
+            cut AS (
+              SELECT off // 256 + k AS example_id,
+                     greatest(off, (off // 256 + k) * 256) AS gs,
+                     tokens[greatest(off, (off // 256 + k) * 256) - off + 1
+                            : least(off + n, (off // 256 + k + 1) * 256) - off] AS sl
+              FROM pieces
+            ),
+            ex AS (
+              SELECT example_id, flatten(list(sl ORDER BY gs)) AS tokens
+              FROM cut GROUP BY example_id
+            )
+            SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
         """,
         "pack_sequences": f"""
             WITH o AS (

@@ -158,3 +158,28 @@ def prepare_corpus(
         )
     )
     return mixture_sample(gated, rates, seed=seed)
+
+
+def split_corpus(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split by the md5 fraction
+    of the doc id (train < ``train`` <= val < ``train+val`` <= test).
+
+    Same consistent-hash family as mixture/policy sampling: assignment is
+    a pure scan-time projection (no shuffle), stable across re-runs and
+    engines, and growing ``train`` only MOVES docs val->train (never
+    reshuffles the rest) — the property that keeps eval sets frozen while
+    the train fraction is tuned.
+    """
+    f = hash_frac(F.col(id_col).cast("string"), seed)
+    return docs.withColumn(
+        "split",
+        F.when(f < train, "train")
+        .when(f < train + val, "val")
+        .otherwise("test"),
+    )

@@ -151,3 +151,24 @@ def assign_shards(
     return out.withColumn(
         "shard_pos", (F.row_number().over(w) - 1).cast("int")
     ).drop("_h")
+
+
+def add_special_tokens(
+    df: DataFrame,
+    bos_id: int | None = None,
+    eos_id: int = -100,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Wrap each sequence with BOS/EOS sentinel ids (``bos_id`` optional)
+    so document boundaries survive `pack_sequences`' concatenation —
+    the docstring there points boundary-aware training here.
+
+    Scan-time array concat, no shuffle; empty sequences are wrapped too
+    (an empty doc still marks a boundary in the packed stream).
+    """
+    parts = []
+    if bos_id is not None:
+        parts.append(F.array(F.lit(int(bos_id))))
+    parts.append(F.col(tok_col))
+    parts.append(F.array(F.lit(int(eos_id))))
+    return df.withColumn(tok_col, F.concat(*parts).cast("array<int>"))

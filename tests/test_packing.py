@@ -124,3 +124,47 @@ def test_prepare_corpus_chain(spark):
     out = prepare_corpus(docs, {"a": 1.0}, min_words=20).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_words"] == 30 and out[0]["dup_word_frac"] == 0.0
+
+
+def test_split_corpus_deterministic_and_nested(spark):
+    from otel_tail_sampler_spark.operators.corpus import split_corpus
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = split_corpus(docs, train=0.8, val=0.1).toPandas()
+    counts = a["split"].value_counts()
+    # roughly 80/10/10 (hash-uniform)
+    assert 1500 < counts["train"] < 1700
+    assert 120 < counts["val"] < 280 and 120 < counts["test"] < 280
+    # growing train only promotes: no doc ever LEAVES train
+    b = split_corpus(docs, train=0.9, val=0.05).toPandas()
+    tr_a = set(a[a["split"] == "train"]["doc_id"])
+    tr_b = set(b[b["split"] == "train"]["doc_id"])
+    assert tr_a <= tr_b
+    # test set of the wider train is a subset of the old test set
+    te_a = set(a[a["split"] == "test"]["doc_id"])
+    te_b = set(b[b["split"] == "test"]["doc_id"])
+    assert te_b <= te_a
+
+
+def test_add_special_tokens_wraps_and_packs(spark):
+    from otel_tail_sampler_spark.operators.packing import (
+        add_special_tokens,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 6]), (2, []), (3, [7])],
+        "doc_id long, tokens array<int>",
+    )
+    w = {r["doc_id"]: r["tokens"] for r in add_special_tokens(
+        df, bos_id=-101, eos_id=-100).collect()}
+    assert w[1] == [-101, 5, 6, -100]
+    assert w[2] == [-101, -100]  # empty doc still marks a boundary
+    assert w[3] == [-101, 7, -100]
+    # composition: packed stream preserves wrapped order, boundaries visible
+    packed = pack_sequences(
+        add_special_tokens(df, bos_id=-101, eos_id=-100), max_len=4
+    ).toPandas().sort_values("example_id")
+    flat = [t for toks in packed["tokens"] for t in toks]
+    assert flat == [-101, 5, 6, -100, -101, -100, -101, 7, -100]
+    assert list(packed["n_tok"]) == [4, 4, 1]
