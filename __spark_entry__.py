@@ -905,7 +905,10 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_contamination(spark, sf_dir):
-    """Train/eval decontamination: best 3-gram containment per eval doc.
+    """Train/eval decontamination: best 8-gram containment per eval doc
+    (8 words = the public decontamination norm — PaLM; GPT-3 used 13),
+    with hot grams (train document frequency > 2) pruned before the join
+    so stop-phrase fanout stays bounded at corpus scale.
 
     Deterministic split of the documents table (doc_id % 10 == 0 -> eval);
     exact-dup eval docs report containment 1.0 and flag contaminated.
@@ -916,8 +919,9 @@ def q_contamination(spark, sf_dir):
     return contamination(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
-        shingle_n=3,
+        shingle_n=8,
         threshold=0.2,
+        max_gram_df=2,
     )
 
 
@@ -940,6 +944,19 @@ def q_winnow_fingerprints(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS composition: winnowing fingerprints -> candidate dup pairs
+    sharing >= 2 surviving fingerprints (hot fps with doc-frequency > 16
+    dropped before the self-join, bounding fanout like MinHash banding)."""
+    from otel_tail_sampler_spark.operators.text import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
+    return winnow_candidate_pairs(fps, max_fp_df=16, min_shared=2)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1126,67 +1143,26 @@ def q_doc_quality(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING CONTRACT: the driver's correctness artifact records the
+    FIRST 50 entries, so the dict is ordered least-proven-first — entries
+    that are new, changed this round, or have fewer prior green driver
+    rounds sit in the window; multi-round-green stalwarts (every value
+    below '# stalwarts' was rows+schema+hash green in BOTH r1 and r2
+    driver artifacts) sit in the tail and keep their local-oracle coverage
+    via scripts/check_oracles.py + pytest."""
     return {
-        # pipeline operators (generated tokenized table; oracle = field-level parquet)
-        "parse_spans": q_parse_spans,
-        "trace_assembly": q_trace_assembly,
-        "trace_assembly_salted": q_trace_assembly_salted,
-        "policy_decisions": q_policy_decisions,
-        "sink_counts": q_sink_counts,
-        "routed_keep_rows": q_routed_keep_rows,
-        "rate_limit_overflow": q_rate_limit_overflow,
-        "error_short_circuit": q_error_short_circuit,
-        "configurable_policy": q_configurable_policy,
-        "combine_all_match": q_combine_all_match,
-        "combine_consensus": q_combine_consensus,
-        "combine_priority": q_combine_priority,
-        "export_projection": q_export_projection,
-        "compression_export": q_compression_export,
-        "buffer_stats": q_buffer_stats,
-        "sql_on_lake": q_sql_on_lake,
-        "operation_type": q_operation_type,
-        "resource_attrs": q_resource_attrs,
-        "slowest_traces": q_slowest_traces,
-        "error_traces_recent": q_error_traces_recent,
-        "span_service_stats": q_span_service_stats,
-        "span_compression": q_span_compression,
-        "enrich_broadcast": q_enrich_broadcast,
-        "exported_dedup_anti": q_exported_dedup_anti,
-        "exported_dedup_ttl": q_exported_dedup_ttl,
-        "trace_readiness": q_trace_readiness,
-        "force_rules": q_force_rules,
-        # relational operators on driver testdata
-        "events_session_agg": q_events_session_agg,
-        "events_latency_policy": q_events_latency_policy,
-        "events_hash_sampling": q_events_hash_sampling,
-        "events_compression_agg": q_events_compression_agg,
-        "events_attr_matchers": q_events_attr_matchers,
-        "events_topk": q_events_topk,
-        "events_sessionize": q_events_sessionize,
-        "compression_remainder": q_compression_remainder,
-        "orders_enrich_join": q_orders_enrich_join,
-        "lineitem_semi_join": q_lineitem_semi_join,
-        "lineitem_anti_join": q_lineitem_anti_join,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        # training-data operators
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_components": q_dedup_components,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "contamination": q_contamination,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_poly": q_winnow_poly,
-        "pack_sequences": q_pack_sequences,
+        # -- new or changed this round (no driver row yet on this shape) --
+        "winnow_pairs": q_winnow_pairs,
+        "contamination": q_contamination,  # n=8 + hot-gram cap this round
+        "remap_rare_tokens": q_remap_rare_tokens,  # shuffle-free rewrite
+        "pack_sequences": q_pack_sequences,  # persist-free rewrite
+        "pack_with_boundaries": q_pack_with_boundaries,
         "assign_shards": q_assign_shards,
-        "remap_rare_tokens": q_remap_rare_tokens,
+        # -- packing/corpus/text tier: judge-verified locally in r2, never
+        #    yet inside the driver window --
+        "winnow_poly": q_winnow_poly,
         "prepare_corpus": q_prepare_corpus,
         "split_corpus": q_split_corpus,
-        "pack_with_boundaries": q_pack_with_boundaries,
         "vocab_histogram": q_vocab_histogram,
         "mixture_sample": q_mixture_sample,
         "text_stats": q_text_stats,
@@ -1198,6 +1174,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_approx": q_lsh_topk_approx,
         "ivf_topk_approx": q_ivf_topk_approx,
         "multimodal_features": q_multimodal_features,
+        # -- one green driver round (r2) --
+        "trace_assembly": q_trace_assembly,
+        "trace_assembly_salted": q_trace_assembly_salted,
+        "configurable_policy": q_configurable_policy,
+        "combine_all_match": q_combine_all_match,
+        "combine_consensus": q_combine_consensus,
+        "combine_priority": q_combine_priority,
+        "export_projection": q_export_projection,
+        "compression_export": q_compression_export,
+        "buffer_stats": q_buffer_stats,
+        "sql_on_lake": q_sql_on_lake,
+        "operation_type": q_operation_type,
+        "resource_attrs": q_resource_attrs,
+        "error_traces_recent": q_error_traces_recent,
+        "span_service_stats": q_span_service_stats,
+        "span_compression": q_span_compression,
+        "enrich_broadcast": q_enrich_broadcast,
+        "exported_dedup_ttl": q_exported_dedup_ttl,
+        "trace_readiness": q_trace_readiness,
+        "events_session_agg": q_events_session_agg,
+        "events_sessionize": q_events_sessionize,
+        "dedup_components": q_dedup_components,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- stalwarts: green in BOTH r1 and r2 driver artifacts (tail;
+        #    covered per-round by scripts/check_oracles.py + pytest) --
+        "parse_spans": q_parse_spans,
+        "policy_decisions": q_policy_decisions,
+        "sink_counts": q_sink_counts,
+        "routed_keep_rows": q_routed_keep_rows,
+        "rate_limit_overflow": q_rate_limit_overflow,
+        "error_short_circuit": q_error_short_circuit,
+        "slowest_traces": q_slowest_traces,
+        "exported_dedup_anti": q_exported_dedup_anti,
+        "force_rules": q_force_rules,
+        "events_latency_policy": q_events_latency_policy,
+        "events_hash_sampling": q_events_hash_sampling,
+        "events_compression_agg": q_events_compression_agg,
+        "events_attr_matchers": q_events_attr_matchers,
+        "events_topk": q_events_topk,
+        "compression_remainder": q_compression_remainder,
+        "orders_enrich_join": q_orders_enrich_join,
+        "lineitem_semi_join": q_lineitem_semi_join,
+        "lineitem_anti_join": q_lineitem_anti_join,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
     }
 
 
@@ -1901,13 +1929,15 @@ def oracle_sql() -> dict[str, str]:
         "contamination": f"""
             WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
             ev AS (
-              SELECT doc_id AS eval_id, unnest(list_distinct({_shingle_sql(3)})) AS s
+              SELECT doc_id AS eval_id, unnest(list_distinct({_shingle_sql(8)})) AS s
               FROM d WHERE doc_id % 10 = 0
             ),
-            tr AS (
-              SELECT doc_id AS train_id, unnest(list_distinct({_shingle_sql(3)})) AS s
+            tr0 AS (
+              SELECT doc_id AS train_id, unnest(list_distinct({_shingle_sql(8)})) AS s
               FROM d WHERE doc_id % 10 <> 0
             ),
+            keep AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 2),
+            tr AS (SELECT train_id, s FROM tr0 SEMI JOIN keep USING (s)),
             sizes AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
             inter AS (
               SELECT eval_id, train_id, count(*) AS i
@@ -1969,6 +1999,28 @@ def oracle_sql() -> dict[str, str]:
                      [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
               FROM g)
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        "winnow_pairs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 4
+                          THEN [md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w) - 2)]
+                          ELSE [md5(array_to_string(w, ' '))] END AS h
+              FROM d),
+            wins AS (
+              SELECT doc_id,
+                     [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
+              FROM g),
+            fpt AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+            keep AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= 16),
+            fk AS (SELECT doc_id, fp FROM fpt SEMI JOIN keep USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "split_corpus": f"""
             SELECT doc_id, source,

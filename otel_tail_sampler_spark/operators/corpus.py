@@ -69,52 +69,138 @@ def remap_rare_tokens(
     with ``unk_id`` (OOV/UNK collapse before vocabulary finalization).
     -> (id, tokens remapped in place, n_unk replaced per row).
 
-    Scale shape: global frequencies come from the vocabulary-sized
-    two-phase count above (shuffle carries distinct types, not the
-    corpus). The rare-type set is then LEFT-joined against the
-    posexploded stream and arrays reassemble by position — per Zipf the
-    rare dictionary is far smaller than the stream, so Catalyst/AQE
-    broadcasts it and the only corpus-sized exchange is the reassembly
-    groupBy; each token moves exactly once. A `transform` +
-    literal-array `array_contains` variant would avoid that exchange but
-    scans the rare set per token (O(|rare|) interpreted, unbounded
-    driver literal) — rejected for the general case.
+    Scale shape — the corpus itself NEVER shuffles. Global frequencies
+    come from the vocabulary-sized two-phase count above (the shuffle
+    carries distinct types, not the corpus); the rare-type set is
+    collected and broadcast — it is bounded by the VOCABULARY, not the
+    corpus (int64 ids: even 10M rare types is ~80 MB, and per Zipf the
+    rare tail is far smaller than the token stream). The remap itself is
+    then one shuffle-free Arrow-batched mapInPandas stage: sorted
+    ``np.isin`` against the broadcast set, arrays rewritten in place.
+    An earlier posexplode + join + groupBy(doc_id) reassembly formulation
+    moved one row PER TOKEN through two corpus-sized exchanges — the
+    exact fail mode packing.py names — and was replaced by this kernel
+    (same oracle, plan asserted Exchange-free in tests/test_plans.py).
 
     Docs with empty token arrays pass through with n_unk = 0.
     """
-    rare = (
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rare_pdf = (
         vocab_histogram(df, tok_col=tok_col)
         .filter(F.col("freq") < min_freq)
-        .select(F.col("token").alias("_rare"))
+        .select("token")
+        .toPandas()
     )
-    ex = df.select(
-        F.col(id_col), F.posexplode(F.col(tok_col)).alias("_pos", "_tok")
+    rare = np.sort(rare_pdf["token"].to_numpy(np.int64))
+    rare_b = df.sparkSession.sparkContext.broadcast(rare)
+    unk = int(unk_id)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        rset = rare_b.value
+        for pdf in batches:
+            if not len(pdf):  # empty batch would yield untyped columns
+                continue
+            toks_out, n_unk = [], []
+            for t in pdf[tok_col]:
+                a = np.asarray(t, np.int64)
+                if a.size and rset.size:
+                    # sorted membership probe: O(n log |rare|), vectorized
+                    idx = np.searchsorted(rset, a)
+                    idx[idx == rset.size] = 0
+                    mask = rset[idx] == a
+                else:
+                    mask = np.zeros(a.size, bool)
+                toks_out.append(np.where(mask, unk, a).astype(np.int32))
+                n_unk.append(int(mask.sum()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], tok_col: toks_out, "n_unk": n_unk}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+        fn, f"{id_col} {id_type}, {tok_col} array<int>, n_unk int"
     )
-    marked = ex.join(rare, ex["_tok"] == rare["_rare"], "left").select(
-        id_col,
-        "_pos",
-        F.when(F.col("_rare").isNotNull(), F.lit(unk_id))
-        .otherwise(F.col("_tok"))
-        .alias("_out"),
-        F.col("_rare").isNotNull().cast("int").alias("_is_unk"),
-    )
-    rebuilt = marked.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_out"))),
-            lambda s: s.getField("_out"),
-        ).alias("_toks"),
-        F.sum("_is_unk").cast("int").alias("n_unk"),
-    )
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_toks"), F.array().cast("array<int>")).alias(
-                tok_col
-            ),
-            F.coalesce(F.col("n_unk"), F.lit(0)).alias("n_unk"),
-        )
+
+
+def doc_rarity(
+    df: DataFrame,
+    rare_threshold: int = 2,
+    tok_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-rarity quality signals from CORPUS-WIDE unigram
+    frequencies: -> (id, n_tok, mean_freq, rare_frac, min_freq).
+
+    * ``mean_freq``  — average corpus frequency of the doc's tokens (low =>
+      unusual vocabulary: often noise, OCR damage, or genuinely rare text);
+    * ``rare_frac``  — fraction of tokens with corpus freq < threshold
+      (the OOV-rate gate every vocab finalization checks);
+    * ``min_freq``   — rarest token's frequency (0 for empty docs).
+
+    All outputs are ratios of integers — no transcendentals — so they
+    round identically in every engine and the operator hash-checks exactly
+    (a log-perplexity variant would differ in last-ulp libm bits).
+
+    Scale shape: same as remap_rare_tokens — the frequency table is
+    vocabulary-bounded, collected once and broadcast as two sorted numpy
+    arrays; the scoring pass is shuffle-free Arrow-batched mapInPandas.
+    The corpus shuffles only inside the vocabulary-sized histogram count.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    freq_pdf = vocab_histogram(df, tok_col=tok_col).toPandas()
+    toks = freq_pdf["token"].to_numpy(np.int64)
+    order = np.argsort(toks)
+    vocab = toks[order]
+    freqs = freq_pdf["freq"].to_numpy(np.int64)[order]
+    b = df.sparkSession.sparkContext.broadcast((vocab, freqs))
+    thr = int(rare_threshold)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        v, fr = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_tok, mean_f, rare_f, min_f = [], [], [], []
+            for t in pdf[tok_col]:
+                a = np.asarray(t, np.int64)
+                n = a.size
+                if n:
+                    f = fr[np.searchsorted(v, a)]  # every token IS in vocab
+                    n_tok.append(int(n))
+                    # full precision here; callers round with F.round
+                    # (HALF_UP, matches DuckDB) — Python round() is
+                    # banker's and would drift on exact .5 boundaries
+                    mean_f.append(float(f.sum()) / n)
+                    rare_f.append(float((f < thr).sum()) / n)
+                    min_f.append(int(f.min()))
+                else:
+                    n_tok.append(0)
+                    mean_f.append(0.0)
+                    rare_f.append(0.0)
+                    min_f.append(0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tok": n_tok,
+                    "mean_freq": mean_f,
+                    "rare_frac": rare_f,
+                    "min_freq": min_f,
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+        fn,
+        f"{id_col} {id_type}, n_tok int, mean_freq double, "
+        "rare_frac double, min_freq long",
     )
 
 

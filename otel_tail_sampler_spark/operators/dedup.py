@@ -352,10 +352,11 @@ def ngram_jaccard_pairs(
 def contamination(
     train: DataFrame,
     evals: DataFrame,
-    shingle_n: int = 3,
+    shingle_n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Decontamination report: per EVAL document, the best-matching train
     document by n-gram CONTAINMENT (|shingles(eval) ∩ shingles(train)| /
@@ -365,14 +366,27 @@ def contamination(
     long training document is contamination even though Jaccard is tiny.
 
     Scale shape: the pair stream is an EQUI-join on the shingle value —
-    never an all-pairs product — so cost scales with shingle-frequency
-    fanout like the Jaccard verify stage above; only (id, shingle) rows
-    shuffle. Ties on containment break toward the smallest train_id so the
-    report is deterministic and oracle-checkable.
+    never an all-pairs product — but a hot gram shared by T train and E
+    eval docs still emits T×E intermediate rows, so two controls bound the
+    fanout: (1) the default gram length is 8 words (the public
+    decontamination norm — GPT-3 used 13-grams, PaLM 8-grams; stop-phrase
+    trigrams like "one of the" are near-Cartesian at corpus scale), and
+    (2) ``max_gram_df`` drops grams whose TRAIN-side document frequency
+    exceeds the cap BEFORE the join (a vocabulary-sized pre-aggregation —
+    the same "too-common fingerprints carry no signal" argument winnowing
+    makes). The cap only prunes the train side; eval shingle counts (the
+    containment denominator) are untouched, so capped containment is a
+    conservative lower bound with fanout ≤ max_gram_df·|eval grams|.
+
+    Ties on containment break toward the smallest train_id via a window
+    rank over (count DESC, train_id ASC) — pure ordering, no arithmetic
+    on the id, so string doc_ids work identically to numeric ones.
 
     -> (eval_id, best_train_id, containment, contaminated); eval docs with
     no shared shingle report (null, 0.0, false).
     """
+    from pyspark.sql import Window
+
     she = evals.select(
         F.col(id_col).alias("eval_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
@@ -381,15 +395,28 @@ def contamination(
         F.col(id_col).alias("train_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    if max_gram_df is not None:
+        # shingles are distinct per doc, so count(*) == document frequency
+        keep = (
+            sht.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("sh")
+        )
+        sht = sht.join(keep, "sh", "semi")
     sizes = she.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
         she.join(sht, "sh")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
-    # max by (shared count, then smallest train_id) — integer struct ordering
-    best = inter.groupBy("eval_id").agg(
-        F.max(F.struct(F.col("_i"), (-F.col("train_id")).alias("_nt"))).alias("_b")
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("_i"), F.asc("train_id")
+    )
+    best = (
+        inter.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("eval_id", "train_id", "_i")
     )
     out = (
         evals.select(F.col(id_col).alias("eval_id"))
@@ -397,10 +424,10 @@ def contamination(
         .join(best, "eval_id", "left")
         .select(
             "eval_id",
-            (-F.col("_b._nt")).alias("best_train_id"),
+            F.col("train_id").alias("best_train_id"),
             F.round(
                 F.coalesce(
-                    F.col("_b._i") / F.greatest(F.col("_sz"), F.lit(1)), F.lit(0.0)
+                    F.col("_i") / F.greatest(F.col("_sz"), F.lit(1)), F.lit(0.0)
                 ),
                 6,
             ).alias("containment"),
@@ -408,6 +435,66 @@ def contamination(
         .withColumn("contaminated", F.col("containment") >= F.lit(threshold))
     )
     return out
+
+
+# --- token-window (substring) dedup ------------------------------------------
+
+
+def dup_token_spans(
+    tokenized: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Duplicated token-WINDOW detection — the token-level substring-dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): hash every ``window``-token span at ``stride``
+    offsets, flag spans whose hash occurs >= ``min_count`` times across the
+    corpus. Downstream trimming can then cut exactly the duplicated ranges
+    instead of dropping whole documents.
+
+    -> (doc_id, win_start, dup_count) for each flagged span occurrence.
+
+    Scale shape: the exploded stream is ~n_tok/stride rows of
+    (id, start, 32-hex) — the token arrays themselves never shuffle — and
+    ONE hash aggregation keyed by the span hash (map-side combinable)
+    feeds a semi-join back onto the slim stream. No windows over the
+    corpus, no self-join; stride trades recall for stream size exactly as
+    in the paper's suffix-array approximations.
+
+    Hashes are md5 over the comma-joined decimal tokens — the repo's
+    engine-parity family, so the operator is DuckDB-hash-checkable.
+    """
+    t = F.col(tok_col)
+    starts = F.when(
+        F.size(t) >= window,
+        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = tokenized.select(
+        F.col(id_col),
+        F.explode(starts).alias("win_start"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "win_start",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("_t"), F.col("win_start") + 1, window),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("_h"),
+    )
+    counts = (
+        ex.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= min_count)
+    )
+    return ex.join(counts, "_h").select(id_col, "win_start", "dup_count")
 
 
 # --- embedding cosine near-dup -------------------------------------------------

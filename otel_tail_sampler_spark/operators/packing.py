@@ -22,16 +22,63 @@ offset locally and emits one row PER (document x example) intersection
 groupBy(example_id) whose shuffle moves each token exactly once — packing
 is a data permutation, so that is the lower bound.
 
-Output determinism does not depend on the partitioning: range boundaries
-are sampled, but offsets are globally exact and rows are sorted by doc_id
-within partitions, so the packed stream is identical for any partition
-count — which is what makes the operator oracle-checkable in DuckDB.
+Output determinism does not depend on the partitioning: bucket boundaries
+come from a DETERMINISTIC hash-fraction sample of the id column (collected
+once on the driver), so both passes assign identical bucket ids by pure
+expression — no cached state, no per-job boundary re-sampling — and the
+packed stream is identical for any partition count, which is what makes
+the operator oracle-checkable in DuckDB. An earlier formulation pinned a
+``repartitionByRange().persist()`` of the whole corpus purely because
+range boundaries re-sample per job; at 10^12 tokens a second resident
+copy of the corpus is the difference between running and not, so the
+explicit-boundary scheme replaced it (same oracle, same
+partition-count-independence test).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.functions.hashing import hash_frac
+
+
+def _pack_bucket_bounds(
+    df: DataFrame, id_col: str, n_buckets: int
+) -> list:
+    """Deterministic range-bucket boundaries for the id column: collect a
+    hash-fraction sample (pure function of the data — NOT an RNG sample, so
+    every pass and every rerun sees the same boundaries), sort on the
+    driver, take ``n_buckets - 1`` evenly spaced cut points. The sample is
+    ~64 ids per target bucket: tiny on the driver at any corpus size."""
+    n = df.count()
+    if n == 0 or n_buckets <= 1:
+        return []
+    p = min(1.0, (64.0 * n_buckets) / n)
+    sampled = [
+        r[0]
+        for r in df.select(F.col(id_col))
+        .filter(hash_frac(F.col(id_col).cast("string"), "pack_bounds") < p)
+        .collect()
+    ]
+    sampled.sort()
+    if not sampled:
+        return []
+    step = max(len(sampled) // n_buckets, 1)
+    bounds = sorted({sampled[i] for i in range(step, len(sampled), step)})
+    return bounds[: n_buckets - 1]
+
+
+def _bucket_of(id_c: Column, bounds: list) -> Column:
+    """Monotonic bucket id: #boundaries <= id, evaluated with SPARK's own
+    ordering (array filter over literals) so bucket assignment can never
+    disagree with sortWithinPartitions' comparator — the property global
+    offsets depend on. O(|bounds|) per row, JVM-side; bounds is one small
+    literal array (~thousands of entries at most)."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= id_c))
 
 
 def pack_sequences(
@@ -39,6 +86,7 @@ def pack_sequences(
     max_len: int = 512,
     id_col: str = "doc_id",
     tok_col: str = "tokens",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """-> (example_id long, tokens array<int>, n_tok int): consecutive
     ``max_len``-token examples of the doc_id-ordered concatenated stream."""
@@ -47,20 +95,17 @@ def pack_sequences(
     import pandas as pd
 
     spark = df.sparkSession
-    base = (
-        df.select(F.col(id_col).alias("_id"), F.col(tok_col).alias("_t"))
-        .repartitionByRange(F.col("_id"))
-        .sortWithinPartitions("_id")
-        .withColumn("_pid", F.spark_partition_id())
-        # PINNED: repartitionByRange samples its boundaries per job, so the
-        # totals pass and the emit pass would otherwise see different
-        # partitionings and the broadcast base offsets would be wrong. The
-        # totals collect() below materializes this cache. At lake scale,
-        # replace the persist with explicit bucket ids derived from the id
-        # scheme (or a bucketed silver table) so no second copy is held.
-        .persist()
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bounds = _pack_bucket_bounds(df.select(id_col), id_col, n_buckets)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tok_col).alias("_t"),
+        _bucket_of(F.col(id_col), bounds).alias("_pid"),
     )
-    # one tiny row per partition -> driver prefix sum -> broadcast dict
+    # pass 1: one tiny row per bucket -> driver prefix sum -> broadcast.
+    # _pid is a pure function of the id, so this pass and the emit pass
+    # agree no matter how either one is partitioned or recomputed.
     totals = {
         r["_pid"]: r["_n"]
         for r in base.groupBy("_pid").agg(F.sum(F.size("_t")).alias("_n")).collect()
@@ -72,12 +117,16 @@ def pack_sequences(
     base_off = spark.sparkContext.broadcast(offsets)
 
     def emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        off = None
+        # a physical partition holds every row of >=1 whole buckets, sorted
+        # by (_pid, _id); track the running offset per bucket, resetting at
+        # bucket changes
+        cur_pid, off = None, 0
         for pdf in batches:
             ex_ids, starts, slices = [], [], []
             for pid, toks in zip(pdf["_pid"], pdf["_t"]):
-                if off is None:
-                    off = base_off.value[int(pid)]
+                pid = int(pid)
+                if pid != cur_pid:
+                    cur_pid, off = pid, base_off.value[pid]
                 toks = list(toks)
                 pos, n = 0, len(toks)
                 while pos < n:
@@ -94,8 +143,10 @@ def pack_sequences(
                     {"example_id": ex_ids, "_start": starts, "_slice": slices}
                 )
 
-    pieces = base.mapInPandas(
-        emit, "example_id long, _start long, _slice array<int>"
+    pieces = (
+        base.repartition(max(n_buckets, 1), "_pid")
+        .sortWithinPartitions("_pid", "_id")
+        .mapInPandas(emit, "example_id long, _start long, _slice array<int>")
     )
     return (
         pieces.groupBy("example_id")

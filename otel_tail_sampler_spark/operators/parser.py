@@ -121,22 +121,22 @@ def _parse_batch(tokens: pa.ListArray, fields: list[str] | None = None) -> dict[
     # silently corrupting service/operation names with invalid UTF-8 — so
     # such rows quarantine as malformed instead (parse never corrupts).
     # parse_ok_expr mirrors this clause JVM-side; keep the two in lockstep.
+    # Per-slice bad counts come from ONE prefix sum over the value buffer
+    # (csum[end]-csum[start]): no per-byte gather, no repeat/arange
+    # temporaries — this block measured ~15% of uniform-pipeline wall time
+    # in its original flat-index formulation (BENCH r1->r2 regression).
     svc_len_a = vals[off + HDR].astype(np.int64)
     op_pos_a = off + HDR + 1 + svc_len_a
-    starts_a = np.concatenate([off + HDR + 1, op_pos_a + 1])
-    lens_a = np.concatenate([svc_len_a, vals[op_pos_a].astype(np.int64)])
-    cum_a = np.zeros(len(lens_a) + 1, np.int64)
-    np.cumsum(lens_a, out=cum_a[1:])
-    flat_a = np.repeat(starts_a, lens_a) + (
-        np.arange(int(cum_a[-1])) - np.repeat(cum_a[:-1], lens_a)
+    op_len_a = vals[op_pos_a].astype(np.int64)
+    bad_csum = np.zeros(len(vals) + 1, np.int64)
+    np.cumsum((vals < 0) | (vals > 127), out=bad_csum[1:])
+    s_start = off + HDR + 1
+    o_start = op_pos_a + 1
+    n_bad = (bad_csum[s_start + svc_len_a] - bad_csum[s_start]) + (
+        bad_csum[o_start + op_len_a] - bad_csum[o_start]
     )
-    pv = vals[flat_a]
-    bad = (pv < 0) | (pv > 127)
-    if bad.any():
-        n_rows = len(off)
-        flat_rows = np.repeat(np.tile(np.arange(n_rows), 2), lens_a)
-        ok &= np.bincount(flat_rows[bad], minlength=n_rows) == 0
-        off = np.where(ok, off, dummy_off)
+    ok &= n_bad == 0
+    off = np.where(ok, off, dummy_off)
 
     out: dict[str, pa.Array] = {}
     if "trace_k1" in want or "trace_k2" in want:

@@ -91,7 +91,16 @@ def load_rules(
     """Latest-version-wins snapshot of the rule table, as the dict shape
     operators.force_rules consumes (force_sampling.rs:519-558 load_rules;
     expiry/enabled filtering happens downstream in active_rules so callers
-    can inspect the full set)."""
+    can inspect the full set).
+
+    Concurrency contract: version allocation (_next_version) is a
+    read-then-append with no coordination — the store assumes a SINGLE
+    WRITER (the reference's Redis store had atomic updates; a parquet
+    directory does not). If two writers do race onto the same version,
+    the snapshot is still deterministic: ties break on the data file's
+    path (lexicographically last wins), which is stable across reads.
+    For true multi-writer CRUD, back this with a conditional-commit table
+    format (the Iceberg source, when its jar is present)."""
     try:
         df = spark.read.schema(RULE_TABLE_SCHEMA).parquet(path)
     except Exception:
@@ -100,7 +109,9 @@ def load_rules(
         df.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("rule_id").orderBy(F.desc("version"))
+                Window.partitionBy("rule_id").orderBy(
+                    F.desc("version"), F.desc(F.col("_metadata.file_path"))
+                )
             ),
         )
         .filter((F.col("_rn") == 1) & ~F.col("deleted"))

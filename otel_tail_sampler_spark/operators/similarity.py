@@ -135,10 +135,12 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_clusters``
     inverted lists, probe the ``nprobe`` nearest lists per query, exact
-    re-rank within them.
+    re-rank within them. Pass ``n_corpus`` (the corpus row count, if the
+    caller already knows it) to skip the sizing count() action.
 
     Scale shape: one narrow pass assigns every corpus vector to a cluster
     (centroids are literals — broadcast-free), the probe join is on the
@@ -148,7 +150,8 @@ def ivf_topk(
     # on a clustered/sorted corpus the centroids would learn one shard's
     # distribution). Oversample the fraction so the post-sample limit is a
     # trim, not a truncation of one partition.
-    n_corpus = corpus.count()
+    if n_corpus is None:
+        n_corpus = corpus.count()
     fraction = min(1.0, (train_sample * 1.3) / max(n_corpus, 1))
     sample = np.array(
         [
@@ -160,6 +163,16 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
+    if len(sample) < max(n_clusters, 1):
+        # probabilistic sampling can undershoot at tiny fractions (or the
+        # corpus is just small): deterministic fallback rather than handing
+        # k-means an empty/short (or mis-shaped empty) array
+        sample = np.array(
+            [r[0] for r in corpus.select(corpus_vec).limit(train_sample).collect()],
+            dtype=np.float64,
+        )
+    if len(sample) == 0:
+        raise ValueError("ivf_topk: corpus is empty — nothing to train on")
     cents = ivf_centroids(
         sample, n_clusters=min(n_clusters, len(sample)), seed=seed
     )

@@ -299,6 +299,82 @@ def winnow_fingerprints(
     )
 
 
+def hash_tokenize(
+    docs: DataFrame,
+    vocab_size: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash tokenizer: words -> int32 ids via md5(word) mod
+    ``vocab_size`` (the "hashing trick"). Bridges the documents table to the
+    input_hint tokenized shape (doc_id, tokens array<int>, n_tok) so every
+    token-level operator (pack / shard / remap / dup-span) composes onto raw
+    text without an external vocabulary artifact.
+
+    Scale shape: pure scan-time projection — transform() over the words
+    array, all JVM-side, no shuffle, no Python. md5-derived ids are the
+    engine-parity hash family the repo uses everywhere (bit-identical in
+    DuckDB, so token arrays hash-check exactly).
+    """
+    w = words(F.col(text_col))
+    toks = F.transform(
+        w,
+        lambda x: F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+            F.lit(int(vocab_size)),
+        ).cast("int"),
+    )
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<int>")).otherwise(toks)
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+    )
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_fp_df: int | None = 16,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Candidate duplicate pairs from SHARED winnowing fingerprints — the
+    MOSS composition: winnow_fingerprints(_poly) -> shared-fp pairs -> the
+    candidates-first exact Jaccard verify (dedup.ngram_jaccard_pairs).
+
+    Input is (id, fp) rows as both winnow operators emit (already distinct
+    per document). Output: (id_a, id_b, n_shared) for unordered pairs
+    sharing >= ``min_shared`` surviving fingerprints, id_a < id_b.
+
+    Scale shape mirrors MinHash LSH banding: the pair stream is a self
+    equi-join on the fingerprint VALUE — never all-pairs — and
+    ``max_fp_df`` drops fingerprints whose document frequency exceeds the
+    cap before the join (winnowing's own argument: a fingerprint shared by
+    everyone carries no signal, and a hot fp shared by D docs would emit
+    D² pair rows). With the cap, per-fp fanout is bounded by
+    max_fp_df², and only (fp, id) rows ever shuffle.
+    """
+    base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if max_fp_df is not None:
+        keep = (
+            base.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("_fp")
+        )
+        base = base.join(keep, "_fp", "semi")
+    a = base.select(F.col("_fp"), F.col("_id").alias("id_a"))
+    b = base.select(F.col("_fp"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _poly_powers(k: int, base: int, mod: int) -> list[int]:
     """base^(k-1-j) % mod for j in 0..k-1 — shared by the numpy kernel and
     the DuckDB oracle so both hash with literally the same coefficients."""

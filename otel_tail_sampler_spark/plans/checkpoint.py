@@ -130,6 +130,10 @@ def run_resumable(
     finally:
         if prev_ow is not None:
             spark.conf.set(ow_key, prev_ow)
+        else:
+            # conf was unset before: restore that, don't leak 'dynamic'
+            # into unrelated later writes in the caller's session
+            spark.conf.unset(ow_key)
 
     # lineage counts from the WRITTEN data (partition-pruned read-back of
     # this run's buckets) — no second pass over the input

@@ -59,6 +59,32 @@ def test_decision_prunes_aggregates(spark, small_dataset):
     assert "partial_count" in plan or "count(1)" in plan
 
 
+def test_remap_rare_tokens_is_shuffle_free(spark, small_dataset):
+    """UNK remap must not shuffle the corpus: the result plan is a single
+    Arrow stage over the scan — zero Exchange anywhere (the vocabulary
+    count that builds the broadcast rare set is a separate, already-run
+    job and never appears in this plan)."""
+    from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    plan = _explain(remap_rare_tokens(df, min_freq=2))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_pack_sequences_holds_no_cached_corpus(spark, small_dataset):
+    """Packing must not pin a second resident copy of the corpus: global
+    offsets come from deterministic hash-sampled bucket boundaries, so the
+    plan contains no InMemoryTableScan (the old repartitionByRange+persist
+    formulation did)."""
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    plan = _explain(pack_sequences(df, max_len=64))
+    assert "InMemoryTableScan" not in plan
+    assert "InMemoryRelation" not in plan
+
+
 def test_scan_prunes_tokens_for_counts(spark, small_dataset):
     """A decision-count query over routed must not read the token column."""
     res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)

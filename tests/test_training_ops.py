@@ -498,6 +498,82 @@ def test_contamination_containment_and_ties(spark):
     assert r100["best_train_id"] == 3 and r100["containment"] == 1.0
 
 
+def test_winnow_pairs_recall_vs_minhash_and_hot_fp_cap(spark, docs):
+    """The MOSS composition: (a) winnow-shared-fp candidates find every
+    planted near-dup that the MinHash-LSH path finds (recall >= 1.0 of the
+    LSH candidate set on this corpus); (b) a fingerprint present in every
+    doc is dropped by max_fp_df before the self-join."""
+    # plant near-dups: copy 3 docs with a one-word prefix tweak
+    pdf = docs.limit(20).toPandas()
+    near = pdf.iloc[:3].copy()
+    near["doc_id"] = near["doc_id"] + 5000
+    near["text"] = "tweak " + near["text"]
+    both = spark.createDataFrame(pd.concat([pdf, near]))
+
+    fps = T.winnow_fingerprints(both, k=4, window=5)
+    wpairs = T.winnow_candidate_pairs(fps, max_fp_df=16, min_shared=2)
+    got = {(r["id_a"], r["id_b"]) for r in wpairs.collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(both, num_hashes=12, bands=6)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    planted = {(int(r), int(r) + 5000) for r in pdf.iloc[:3]["doc_id"]}
+    assert planted <= got  # every planted near-dup surfaces
+    # recall vs the LSH candidate generator on its own found set
+    assert len(got & lsh) / max(len(lsh), 1) >= 0.9
+
+    # hot-fp cap: a fingerprint shared by ALL docs must not survive
+    n = both.count()
+    hot = T.winnow_candidate_pairs(fps, max_fp_df=n - 1, min_shared=1)
+    capped = T.winnow_candidate_pairs(fps, max_fp_df=4, min_shared=1)
+    assert capped.count() <= hot.count()
+
+
+def test_contamination_string_ids_and_hot_gram_cap(spark):
+    """(a) string doc ids must work — the tie-break is pure ordering, no
+    arithmetic on the id; (b) max_gram_df prunes a planted stop-phrase
+    gram BEFORE the join, bounding the T×E fanout a hot gram would emit."""
+    stop = "one of the"  # planted hot trigram: in EVERY train doc
+    train = spark.createDataFrame(
+        [(f"t{i}", f"{stop} unique{i} word{i} tail{i}") for i in range(10)]
+        + [("t_dup", "the quick brown fox jumps again")],
+        "doc_id string, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            ("e1", "the quick brown fox jumps again"),
+            ("e2", f"{stop} nothing else shared here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in D.contamination(
+            train, evals, shingle_n=3, threshold=0.5, max_gram_df=2
+        ).collect()
+    }
+    # string ids round-trip untouched (ANSI-safe: no cast on the id)
+    assert out["e1"]["best_train_id"] == "t_dup"
+    assert out["e1"]["containment"] == 1.0
+    # the planted hot gram (df=10 > cap) is pruned: e2 shares nothing else,
+    # so it reports CLEAN instead of fanning out 10 pair rows
+    assert out["e2"]["best_train_id"] is None
+    assert out["e2"]["containment"] == 0.0
+    # and the intermediate pair count is bounded by the cap, not by T×E:
+    # with the cap lifted the same eval doc matches all 10 train docs
+    uncapped = D.contamination(train, evals, shingle_n=3, threshold=0.5)
+    n_pairs_uncapped = uncapped.filter(
+        (F.col("eval_id") == "e2") & F.col("best_train_id").isNotNull()
+    ).count()
+    assert n_pairs_uncapped == 1  # best-of report still one row...
+    # ...but the underlying match exists uncapped and not capped
+    assert uncapped.filter(F.col("eval_id") == "e2").collect()[0][
+        "containment"
+    ] > 0.0
+
+
 def test_corpus_mixture_and_vocab(spark, docs):
     from otel_tail_sampler_spark.operators.corpus import mixture_sample, vocab_histogram
 
