@@ -959,6 +959,41 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_candidate_pairs(fps, max_fp_df=16, min_shared=2)
 
 
+def q_hash_tokenize(spark, sf_dir):
+    """Deterministic hashing-trick tokenizer: words -> md5-mod-4096 int32
+    ids, bridging documents to the input_hint tokenized shape."""
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    return hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+
+
+def q_dup_token_spans(spark, sf_dir):
+    """Token-window substring dedup (Lee et al. 2022 signal): 16-token
+    windows at stride 8 over the hash-tokenized documents; spans whose
+    window hash repeats corpus-wide are flagged with their position."""
+    from otel_tail_sampler_spark.operators.dedup import dup_token_spans
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    return dup_token_spans(toks, window=16, stride=8, min_count=2)
+
+
+def q_doc_rarity(spark, sf_dir):
+    """Corpus-frequency rarity/OOV quality signals over the tokenized
+    table (integer-exact ratios; rounding applied query-side)."""
+    from otel_tail_sampler_spark.operators.corpus import doc_rarity
+
+    tok = _dataset(sf_dir)["tokenized"]
+    out = doc_rarity(spark.read.parquet(tok), rare_threshold=2)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.round("mean_freq", 6).alias("mean_freq"),
+        F.round("rare_frac", 6).alias("rare_frac"),
+        "min_freq",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: the doc_id-ordered token stream cut into 256-token
     training examples (canonical pre-training batch prep over the
@@ -1152,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     via scripts/check_oracles.py + pytest."""
     return {
         # -- new or changed this round (no driver row yet on this shape) --
+        "hash_tokenize": q_hash_tokenize,
+        "dup_token_spans": q_dup_token_spans,
+        "doc_rarity": q_doc_rarity,
         "winnow_pairs": q_winnow_pairs,
         "contamination": q_contamination,  # n=8 + hot-gram cap this round
         "remap_rare_tokens": q_remap_rare_tokens,  # shuffle-free rewrite
@@ -1999,6 +2037,53 @@ def oracle_sql() -> dict[str, str]:
                      [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
               FROM g)
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+        """,
+        "hash_tokenize": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                        ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                              for x in string_split(trim(text), ' ')] END AS tokens,
+                   (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END)::INT AS n_tok
+            FROM documents
+        """,
+        "dup_token_spans": """
+            WITH tok AS (
+              SELECT doc_id,
+                     [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                      for x in string_split(trim(text), ' ')] AS tokens
+              FROM documents WHERE trim(text) <> ''
+            ),
+            ex AS (
+              SELECT doc_id, unnest(range(0, greatest(len(tokens) - 15, 0), 8)) AS s,
+                     tokens
+              FROM tok WHERE len(tokens) >= 16
+            ),
+            h AS (
+              SELECT doc_id, s::INT AS win_start,
+                     md5(array_to_string(tokens[s+1:s+16], ',')) AS h
+              FROM ex
+            ),
+            c AS (SELECT h, count(*) AS dup_count FROM h GROUP BY 1 HAVING count(*) >= 2)
+            SELECT doc_id, win_start, dup_count FROM h JOIN c USING (h)
+        """,
+        "doc_rarity": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            ex AS (SELECT doc_id, unnest(tokens) AS t FROM tok),
+            freq AS (SELECT t, count(*) AS c FROM ex GROUP BY 1),
+            per AS (
+              SELECT ex.doc_id, count(*) AS n, sum(freq.c)::BIGINT AS sumc,
+                     sum(CASE WHEN freq.c < 2 THEN 1 ELSE 0 END)::BIGINT AS nrare,
+                     min(freq.c)::BIGINT AS minc
+              FROM ex JOIN freq USING (t) GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(per.n, 0)::INT AS n_tok,
+                   round(coalesce(per.sumc::DOUBLE / per.n, 0.0), 6) AS mean_freq,
+                   round(coalesce(per.nrare::DOUBLE / per.n, 0.0), 6) AS rare_frac,
+                   coalesce(per.minc, 0) AS min_freq
+            FROM tok t LEFT JOIN per USING (doc_id)
         """,
         "winnow_pairs": r"""
             WITH d AS (

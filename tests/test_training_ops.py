@@ -574,6 +574,57 @@ def test_contamination_string_ids_and_hot_gram_cap(spark):
     ] > 0.0
 
 
+def test_hash_tokenize_deterministic_and_composes(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.hash_tokenize(df, vocab_size=128).collect()}
+    # same word -> same id; ids in [0, vocab)
+    assert out[1]["tokens"][0] == out[1]["tokens"][2] == out[3]["tokens"][0]
+    assert all(0 <= t < 128 for t in out[1]["tokens"])
+    assert out[1]["n_tok"] == 3 and out[2]["tokens"] == [] and out[2]["n_tok"] == 0
+    # stable across partitionings (pure projection)
+    a = T.hash_tokenize(df, vocab_size=128).collect()
+    b = T.hash_tokenize(df.repartition(3), vocab_size=128).collect()
+    assert {r["doc_id"]: r["tokens"] for r in a} == {r["doc_id"]: r["tokens"] for r in b}
+
+
+def test_dup_token_spans_flags_planted_window(spark):
+    shared = list(range(100, 116))  # 16-token run planted in docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + [1] * 8),
+            (2, [2] * 8 + shared),
+            (3, list(range(500, 524))),  # unique -> no flags
+            (4, [7] * 4),                # shorter than window -> no windows
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = D.dup_token_spans(df, window=16, stride=8, min_count=2).collect()
+    got = {(r["doc_id"], r["win_start"]) for r in out}
+    # the planted run starts at offset 0 in doc 1 and offset 8 in doc 2
+    assert (1, 0) in got and (2, 8) in got
+    assert all(r["dup_count"] == 2 for r in out)
+    assert not any(r["doc_id"] in (3, 4) for r in out)
+
+
+def test_doc_rarity_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.corpus import doc_rarity
+
+    df = spark.createDataFrame(
+        [(1, [10, 10, 20]), (2, [20, 30]), (3, [])],
+        "doc_id long, tokens array<int>",
+    )
+    # corpus freqs: 10->2, 20->2, 30->1
+    out = {r["doc_id"]: r for r in doc_rarity(df, rare_threshold=2).collect()}
+    assert out[1]["n_tok"] == 3 and abs(out[1]["mean_freq"] - 2.0) < 1e-12
+    assert out[1]["rare_frac"] == 0.0 and out[1]["min_freq"] == 2
+    assert abs(out[2]["mean_freq"] - 1.5) < 1e-12
+    assert abs(out[2]["rare_frac"] - 0.5) < 1e-12 and out[2]["min_freq"] == 1
+    assert out[3]["n_tok"] == 0 and out[3]["min_freq"] == 0
+
+
 def test_corpus_mixture_and_vocab(spark, docs):
     from otel_tail_sampler_spark.operators.corpus import mixture_sample, vocab_histogram
 
