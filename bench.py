@@ -84,9 +84,10 @@ def main() -> None:
     # in this sandbox; steady-state throughput is the metric)
     paths = ensure_dataset(sf)
     t, n_spans = _pipeline_spans_per_sec(spark, paths["tokenized"])
-    # min of 5: the uniform headline is a ~2s job on a +/-50%-variance host,
-    # so the min needs more draws than the longer skewed run does
-    for _ in range(4):
+    # min of 7: the uniform headline is a ~2s job on a +/-50%-variance host
+    # (whole multi-minute windows run 2x slow — observed min-of-5 at 4.3s
+    # vs 1.95s an hour apart on identical code), so spread more draws
+    for _ in range(6):
         t = min(t, _pipeline_spans_per_sec(spark, paths["tokenized"])[0])
     queries["pipeline_uniform"] = round(t, 3)
     uniform_rate = n_spans / t

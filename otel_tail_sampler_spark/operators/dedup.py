@@ -112,7 +112,14 @@ def minhash_signatures_agg(
     once PER HASH because CollapseProject inlines the shared subexpression —
     O(num_hashes x shingling) per row. This form shingles once, then runs
     num_hashes min-aggregates in one map-side-combinable groupBy — the shape
-    that scales (shuffle carries one partial row per doc per split)."""
+    that scales (shuffle carries one partial row per doc per split).
+
+    The per-shingle md5 work is the dominant cost, and it runs BEFORE the
+    first exchange — so a small input (few splits) would starve it to one
+    task; spread_small_input widens it (no-op at lake scale)."""
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    docs = spread_small_input(docs)
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
@@ -253,6 +260,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     map-side combinable, so linear at scale.
     """
     assert bits <= 16
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    docs = spread_small_input(docs)  # per-word md5 runs pre-exchange
     exploded = docs.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
     ).withColumn(
@@ -300,6 +310,9 @@ def ngram_jaccard_pairs(
     only those pairs are scored (the scalable path). Without, all pairs
     sharing >=1 shingle are scored (exact, quadratic; small inputs only).
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    docs = spread_small_input(docs)  # shingling runs pre-exchange
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
@@ -387,6 +400,10 @@ def contamination(
     """
     from pyspark.sql import Window
 
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    train = spread_small_input(train)  # shingling runs pre-exchange
+    evals = spread_small_input(evals)
     she = evals.select(
         F.col(id_col).alias("eval_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
@@ -467,6 +484,9 @@ def dup_token_spans(
     Hashes are md5 over the comma-joined decimal tokens — the repo's
     engine-parity family, so the operator is DuckDB-hash-checkable.
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    tokenized = spread_small_input(tokenized)  # window md5s run pre-exchange
     t = F.col(tok_col)
     starts = F.when(
         F.size(t) >= window,
@@ -569,9 +589,11 @@ def embedding_dup_pairs_lsh(
     tune n_bands/band_bits for the recall/cost point. Deterministic given
     the seed, so the full plan remains oracle-checkable in SQL.
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
     from otel_tail_sampler_spark.operators.similarity import _sign_bits, hyperplanes
 
     planes = hyperplanes(dim, n_bands * band_bits, seed)
+    emb = spread_small_input(emb)  # band projections run pre-exchange
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     band_keys = F.array(
         *[

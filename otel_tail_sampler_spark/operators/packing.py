@@ -204,6 +204,34 @@ def assign_shards(
     ).drop("_h")
 
 
+def write_shards(
+    examples: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "example_id",
+    seed: str = "shards",
+) -> None:
+    """Materialize the training shards: assign_shards' deterministic
+    (shard, shard_pos) layout written as one parquet file per shard
+    directory, rows in shard_pos order.
+
+    Scale shape: the repartition on ``shard`` is the SAME exchange the
+    assign_shards window already needs (hash on shard), so the write adds
+    no extra shuffle — each shard hashes wholly into one task, which
+    writes exactly one in-order file into its `shard=k/` directory. A
+    reader streaming that file sees the decorrelated within-shard order a
+    training run wants, with no shuffle buffer of its own.
+    """
+    (
+        assign_shards(examples, n_shards, id_col=id_col, seed=seed)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def add_special_tokens(
     df: DataFrame,
     bos_id: int | None = None,

@@ -36,6 +36,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query. Queries are broadcast; ties broken by
     corpus id for determinism."""
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    corpus = spread_small_input(corpus)  # dot products run pre-exchange
     c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv"))
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
     scored = c.join(F.broadcast(q)).withColumn(
@@ -77,7 +80,12 @@ def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
 
 def with_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
                 out_col: str = "bucket") -> DataFrame:
-    return df.withColumn(out_col, _sign_bits(F.col(vec_col), planes))
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    # the per-vector plane dot products run pre-exchange: widen small inputs
+    return spread_small_input(df).withColumn(
+        out_col, _sign_bits(F.col(vec_col), planes)
+    )
 
 
 def ivf_centroids(
@@ -177,7 +185,9 @@ def ivf_topk(
         sample, n_clusters=min(n_clusters, len(sample)), seed=seed
     )
 
-    c = corpus.select(
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    c = spread_small_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv")
     ).withColumn("cluster", _nearest_clusters(F.col("_cv"), cents, 1)[0])
     q = queries.select(

@@ -293,10 +293,12 @@ def winnow_fingerprints(
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     # explicit projection: mapInPandas is opaque to Catalyst column pruning
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
     id_type = docs.schema[id_col].dataType.simpleString()
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        fn, f"doc_id {id_type}, fp string"
-    )
+    return spread_small_input(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(fn, f"doc_id {id_type}, fp string")
 
 
 def hash_tokenize(
@@ -438,7 +440,9 @@ def winnow_fingerprints_poly(
                 fps.extend(uniq)
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
     id_type = docs.schema[id_col].dataType.simpleString()
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        fn, f"doc_id {id_type}, fp long"
-    )
+    return spread_small_input(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(fn, f"doc_id {id_type}, fp long")

@@ -75,7 +75,13 @@ def main() -> None:
 
     from otel_tail_sampler_spark.operators import dedup as D
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # pre-spread to session parallelism: at lake scale inputs plan many
+    # splits, so the operators' conditional spread_small_input never fires —
+    # pre-spreading here captures that (pure) plan shape instead of the
+    # tiny-file adaptation
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(8)
     cand = D.minhash_lsh_pairs(docs, num_hashes=12, bands=6).select("id_a", "id_b")
     section(
         "Candidates-first n-gram Jaccard verify",
@@ -85,7 +91,9 @@ def main() -> None:
         D.ngram_jaccard_pairs(docs, threshold=0.8, candidates=cand),
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(8)
     from otel_tail_sampler_spark.operators.similarity import ivf_topk
 
     q = emb.limit(2).selectExpr("vec_id as query_id", "embedding as query_vec")
@@ -137,11 +145,37 @@ def main() -> None:
 
     section(
         "Sequence packing",
-        "What to check: exactly TWO exchanges — the range repartition that\n"
-        "orders the stream and the example-id aggregation that moves each\n"
-        "token once. No per-token Generate/explode; the python stage emits\n"
-        "one row per document x example intersection.",
+        "What to check: exactly TWO exchanges — the hash repartition on the\n"
+        "DETERMINISTIC bucket id (pure function of doc_id + sampled-once\n"
+        "boundary literals; no repartitionByRange, no InMemoryRelation pin)\n"
+        "and the example-id aggregation that moves each token once. No\n"
+        "per-token Generate/explode; the python stage emits one row per\n"
+        "document x example intersection.",
         pack_sequences(spark.read.parquet(paths["tokenized"]), max_len=256),
+    )
+
+    from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
+
+    section(
+        "Rare-token UNK remap",
+        "What to check: ZERO Exchange — the remap is one Arrow stage over\n"
+        "the scan with the rare-type set broadcast (vocabulary-bounded);\n"
+        "the corpus-sized posexplode/reassembly of the first formulation is\n"
+        "gone. (The vocabulary histogram that builds the rare set is a\n"
+        "separate, already-run job and never appears in this plan.)",
+        remap_rare_tokens(spark.read.parquet(paths["tokenized"]), min_freq=2),
+    )
+
+    section(
+        "Duplicated token-window detection",
+        "What to check: the exploded stream carries (id, start, 32-hex) —\n"
+        "the token arrays themselves never shuffle; one partial/final\n"
+        "HashAggregate pair on the span hash feeds the join back; no self\n"
+        "join of the corpus.",
+        D.dup_token_spans(
+            spark.read.parquet(paths["tokenized"]).repartition(8),
+            window=16, stride=8,
+        ),
     )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:

@@ -83,6 +83,38 @@ def test_assign_shards_deterministic_uniform_and_complete(spark):
     assert s0 != sorted(s0)
 
 
+def test_write_shards_one_ordered_file_per_shard(spark, tmp_path):
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards,
+        write_shards,
+    )
+
+    ex = spark.range(500).withColumnRenamed("id", "example_id")
+    out = str(tmp_path / "shards")
+    write_shards(ex, out, n_shards=4)
+    import glob
+
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        # one in-order file per shard directory (shard k lives in one task)
+        assert len(files) == 1
+        import pandas as pd
+
+        pdf = pd.read_parquet(files[0])
+        assert list(pdf["shard_pos"]) == sorted(pdf["shard_pos"])
+    # complete and identical to the pure assignment
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    a = back.select("example_id", "shard_pos").toPandas().sort_values("example_id")
+    b = (
+        assign_shards(ex, n_shards=4)
+        .select("example_id", "shard_pos")
+        .toPandas()
+        .sort_values("example_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_remap_rare_tokens(spark):
     from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
 
