@@ -95,7 +95,9 @@ def main() -> None:
     # headline: skewed pipeline (heavy-hitter traces) at bench scale
     skew_paths = ensure_dataset("bench0.1")
     t_skew, n_skew = _pipeline_spans_per_sec(spark, skew_paths["tokenized"])
-    for _ in range(2):
+    # min of 4: observed first-draw 12.1s vs steady-state 4.0s on identical
+    # code in a slow host window — 3 draws under-sampled the fast state
+    for _ in range(3):
         t_skew = min(t_skew, _pipeline_spans_per_sec(spark, skew_paths["tokenized"])[0])
     queries["pipeline_skewed"] = round(t_skew, 3)
     skew_rate = n_skew / t_skew

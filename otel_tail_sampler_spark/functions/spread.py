@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its planned
     partition count is smaller. No-op (and no shuffle) otherwise."""
+    if df.isStreaming:  # no static partition plan to inspect; leave as-is
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -119,7 +119,10 @@ def pack_sequences(
     def emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         # a physical partition holds every row of >=1 whole buckets, sorted
         # by (_pid, _id); track the running offset per bucket, resetting at
-        # bucket changes
+        # bucket changes. Slices stay numpy views (no per-token Python
+        # boxing — Arrow takes object columns of int32 arrays directly).
+        import numpy as np
+
         cur_pid, off = None, 0
         for pdf in batches:
             ex_ids, starts, slices = [], [], []
@@ -127,7 +130,7 @@ def pack_sequences(
                 pid = int(pid)
                 if pid != cur_pid:
                     cur_pid, off = pid, base_off.value[pid]
-                toks = list(toks)
+                toks = np.asarray(toks, np.int32)
                 pos, n = 0, len(toks)
                 while pos < n:
                     ex = (off + pos) // max_len
