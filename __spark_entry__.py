@@ -1106,7 +1106,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     from otel_tail_sampler_spark.operators.dedup import embedding_dup_pairs_lsh
 
     p = embedding_dup_pairs_lsh(
-        _emb(spark, sf_dir), dim=64, threshold=0.4, n_bands=4, band_bits=4, seed=42
+        _emb(spark, sf_dir), dim=64, threshold=0.4, n_bands=4, band_bits=8, seed=42
     )
     return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1465,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
 
     plane_rows = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
-        for i, p in enumerate(hyperplanes(64, 16, 42))
+        for i, p in enumerate(hyperplanes(64, 32, 42))
     )
     cosd = (
         "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -2294,11 +2294,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": f"""
             WITH planes(pid, pv) AS (VALUES {plane_rows}),
             bk AS (
-              SELECT e.vec_id AS id, p.pid // 4 AS band,
+              SELECT e.vec_id AS id, p.pid // 8 AS band,
                      string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
                                      THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS key
               FROM embeddings e CROSS JOIN planes p
-              GROUP BY e.vec_id, p.pid // 4
+              GROUP BY e.vec_id, p.pid // 8
             ),
             cand AS (
               SELECT DISTINCT l.id AS id_a, r.id AS id_b

