@@ -978,6 +978,34 @@ def q_dup_token_spans(spark, sf_dir):
     return dup_token_spans(toks, window=16, stride=8, min_count=2)
 
 
+def q_trim_dup_spans(spark, sf_dir):
+    """Substring-dedup TRIM (Lee et al. 2022): duplicated 16-token windows
+    removed keep-first over the hash-tokenized documents."""
+    from otel_tail_sampler_spark.operators.dedup import trim_dup_spans
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    return trim_dup_spans(toks, window=16, stride=8, min_count=2)
+
+
+def q_corpus_to_shards(spark, sf_dir):
+    """The full training-prep DAG end-to-end in one declarative chain:
+    raw documents -> hashing-trick tokenize -> 256-token packing ->
+    deterministic shard assignment. Every stage is oracle-proven standalone;
+    this checks the composition value-exactly (tokens included)."""
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards,
+        pack_sequences,
+    )
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    packed = pack_sequences(toks, max_len=256)
+    return assign_shards(packed, n_shards=8).select(
+        "example_id", "tokens", "n_tok", "shard", "shard_pos"
+    )
+
+
 def q_doc_rarity(spark, sf_dir):
     """Corpus-frequency rarity/OOV quality signals over the tokenized
     table (integer-exact ratios; rounding applied query-side)."""
@@ -1189,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new or changed this round (no driver row yet on this shape) --
         "hash_tokenize": q_hash_tokenize,
         "dup_token_spans": q_dup_token_spans,
+        "trim_dup_spans": q_trim_dup_spans,
+        "corpus_to_shards": q_corpus_to_shards,
         "doc_rarity": q_doc_rarity,
         "winnow_pairs": q_winnow_pairs,
         "contamination": q_contamination,  # n=8 + hot-gram cap this round
@@ -2066,6 +2096,93 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (SELECT h, count(*) AS dup_count FROM h GROUP BY 1 HAVING count(*) >= 2)
             SELECT doc_id, win_start, dup_count FROM h JOIN c USING (h)
+        """,
+        "corpus_to_shards": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                          ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                                for x in string_split(trim(text), ' ')] END AS tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT tokens, len(tokens) AS n,
+                     coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+              FROM tok
+            ),
+            pieces AS (
+              SELECT off, n, tokens,
+                     unnest(range(0, CASE WHEN n = 0 THEN 0
+                       ELSE (off + n - 1) // 256 - off // 256 + 1 END)) AS k
+              FROM o
+            ),
+            cut AS (
+              SELECT off // 256 + k AS example_id,
+                     greatest(off, (off // 256 + k) * 256) AS gs,
+                     tokens[greatest(off, (off // 256 + k) * 256) - off + 1
+                            : least(off + n, (off // 256 + k + 1) * 256) - off] AS sl
+              FROM pieces
+            ),
+            ex AS (
+              SELECT example_id, flatten(list(sl ORDER BY gs)) AS tokens
+              FROM cut GROUP BY example_id
+            ),
+            sh AS (
+              SELECT example_id, tokens, len(tokens)::INT AS n_tok,
+                     md5(example_id::VARCHAR || '|' || 'shards') AS hx
+              FROM ex
+            ),
+            s2 AS (
+              SELECT *, (('0x' || substring(hx, 1, 15))::BIGINT % 8)::INT AS shard
+              FROM sh
+            )
+            SELECT example_id, tokens, n_tok, shard,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY hx, example_id) - 1)::INT AS shard_pos
+            FROM s2
+        """,
+        "trim_dup_spans": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                          ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                                for x in string_split(trim(text), ' ')] END AS tokens
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, unnest(range(0, greatest(len(tokens) - 15, 0), 8)) AS s,
+                     tokens
+              FROM tok WHERE len(tokens) >= 16
+            ),
+            h AS (
+              SELECT doc_id, s, md5(array_to_string(tokens[s+1:s+16], ',')) AS h
+              FROM ex
+            ),
+            occ AS (
+              SELECT doc_id, s,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+                     count(*) OVER (PARTITION BY h) AS cnt
+              FROM h
+            ),
+            mask AS (SELECT doc_id, s FROM occ WHERE cnt >= 2 AND rn > 1),
+            pos AS (
+              SELECT doc_id, unnest(range(0, len(tokens))) AS p FROM tok
+            ),
+            kept AS (
+              SELECT p.doc_id, p.p
+              FROM pos p ANTI JOIN mask m
+                ON m.doc_id = p.doc_id AND p.p >= m.s AND p.p < m.s + 16
+            ),
+            rebuilt AS (
+              SELECT k.doc_id, list(tok.tokens[k.p + 1] ORDER BY k.p) AS toks,
+                     count(*) AS nk
+              FROM kept k JOIN tok USING (doc_id) GROUP BY k.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(rb.toks, []::INTEGER[]) AS tokens,
+                   (len(t.tokens) - coalesce(rb.nk, 0))::INT AS n_removed
+            FROM tok t LEFT JOIN rebuilt rb USING (doc_id)
         """,
         "doc_rarity": f"""
             WITH tok AS (

@@ -517,6 +517,88 @@ def dup_token_spans(
     return ex.join(counts, "_h").select(id_col, "win_start", "dup_count")
 
 
+def trim_dup_spans(
+    tokenized: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """REMOVE duplicated token windows, keeping each span's FIRST occurrence
+    — the trimming step the dup_token_spans signal exists for (Lee et al.
+    2022 cut duplicated substrings instead of dropping whole documents).
+
+    Semantics (deterministic): for every window hash occurring >=
+    ``min_count`` times corpus-wide, occurrences rank by (doc_id,
+    win_start); rank-1 survives, every later occurrence masks its token
+    range [win_start, win_start+window). Masked ranges union per doc and
+    the covered positions are deleted. -> (id, tokens trimmed, n_removed).
+
+    Scale shape: the hash stream and ranking reuse dup_token_spans'
+    slim (id, start, 32-hex) stream — token arrays never shuffle. The
+    per-doc mask is a collected list of START offsets (bounded by
+    n_tok/stride), broadcast-joined back, and deletion is ONE JVM filter
+    expression over the token array (position-covered test per element —
+    no posexplode, no Python).
+    """
+    from pyspark.sql import Window as W
+
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    tokenized = spread_small_input(tokenized)
+    t = F.col(tok_col)
+    starts = F.when(
+        F.size(t) >= window,
+        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = tokenized.select(
+        F.col(id_col),
+        F.explode(starts).alias("win_start"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "win_start",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("_t"), F.col("win_start") + 1, window),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("_h"),
+    )
+    w_first = W.partitionBy("_h").orderBy(F.asc(id_col), F.asc("win_start"))
+    occ = ex.withColumn("_rn", F.row_number().over(w_first)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(W.partitionBy("_h"))
+    )
+    masked = (
+        occ.filter((F.col("_cnt") >= min_count) & (F.col("_rn") > 1))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("win_start")).alias("_mask"))
+    )
+    out = tokenized.join(masked, id_col, "left").withColumn(
+        "_mask", F.coalesce(F.col("_mask"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col(tok_col),
+        lambda x, i: ~F.exists(
+            F.col("_mask"), lambda s: (s <= i) & (i < s + window)
+        ),
+    )
+    # materialize `kept` in its own projection so the per-element coverage
+    # test is not inlined twice (once for the output, once for n_removed)
+    return (
+        out.select(F.col(id_col), F.size(F.col(tok_col)).alias("_n0"), kept.alias("_kept"))
+        .select(
+            id_col,
+            F.col("_kept").alias(tok_col),
+            (F.col("_n0") - F.size("_kept")).cast("int").alias("n_removed"),
+        )
+    )
+
+
 # --- embedding cosine near-dup -------------------------------------------------
 
 

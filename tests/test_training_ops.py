@@ -609,6 +609,30 @@ def test_dup_token_spans_flags_planted_window(spark):
     assert not any(r["doc_id"] in (3, 4) for r in out)
 
 
+def test_trim_dup_spans_keeps_first_occurrence(spark):
+    shared = list(range(100, 116))  # 16-token duplicated run
+    df = spark.createDataFrame(
+        [
+            (1, shared + [1] * 8),        # first occurrence -> kept whole
+            (2, [2] * 8 + shared),        # later occurrence -> trimmed
+            (3, list(range(500, 524))),   # unique -> untouched
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.trim_dup_spans(df, window=16, stride=8, min_count=2).collect()
+    }
+    assert out[1]["tokens"] == shared + [1] * 8 and out[1]["n_removed"] == 0
+    assert out[2]["tokens"] == [2] * 8 and out[2]["n_removed"] == 16
+    assert out[3]["n_removed"] == 0 and len(out[3]["tokens"]) == 24
+    # conservation: removing the dup span kills the dup signal
+    after = D.dup_token_spans(
+        D.trim_dup_spans(df, window=16, stride=8), window=16, stride=8
+    ).count()
+    assert after == 0
+
+
 def test_doc_rarity_hand_computed(spark):
     from otel_tail_sampler_spark.operators.corpus import doc_rarity
 
