@@ -143,6 +143,8 @@ def main() -> None:
         "doc_quality",
         "repetition_signals",
         "contamination",
+        "dup_token_spans",
+        "corpus_to_shards",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5)
