@@ -115,6 +115,40 @@ def test_write_shards_one_ordered_file_per_shard(spark, tmp_path):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
+def test_corpus_prep_plan_end_to_end(spark, tmp_path):
+    """Full prep DAG over the real documents table: gates bite, shards
+    conserve the trimmed token stream, reader sees in-order shards."""
+    from otel_tail_sampler_spark.plans.corpus_prep import (
+        read_shard_stream,
+        run_corpus_prep,
+    )
+
+    out = str(tmp_path / "prep")
+    m = run_corpus_prep(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out,
+        vocab_size=1024,
+        max_len=64,
+        n_shards=4,
+        min_words=5,
+    )
+    assert 0 < m["docs_kept"] <= m["docs_in"] == 500
+    assert m["examples"] > 0 and m["tokens_out"] > 0
+    back = spark.read.parquet(f"{out}/shards")
+    # conservation: shard files hold exactly the packed token stream
+    assert back.agg(F.sum("n_tok")).collect()[0][0] == m["tokens_out"]
+    assert back.count() == m["examples"]
+    # every example except per-stream-tail is exactly max_len
+    assert back.filter("n_tok < 64").count() <= 1
+    # reader view: one shard, shard_pos-ordered
+    s0 = read_shard_stream(spark, out, 0).select("shard_pos").toPandas()
+    assert list(s0["shard_pos"]) == list(range(len(s0)))
+    # metrics row persisted
+    mr = spark.read.parquet(f"{out}/metrics_run").collect()[0].asDict()
+    assert mr["examples"] == m["examples"]
+
+
 def test_remap_rare_tokens(spark):
     from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
 
