@@ -1,0 +1,82 @@
+"""Streaming exact-dedup for the training-data (tokens) tier.
+
+Batch exact_dedup (operators/dedup.py) picks the min-id representative of
+each identical text in one bounded job. A continuously-ingesting corpus
+needs the STREAMING form: the first arrival of each content digest passes
+through, every later arrival is dropped — the same first-wins contract as
+the reference's Redis exported-manifest (SETNX semantics,
+/root/reference/src/sampling/evaluator.rs:358-401), expressed as
+``applyInPandasWithState`` keyed by the md5 digest.
+
+State shape: ONE tiny row (first_id, dup_count) per DISTINCT digest —
+the streaming analog of the Redis key set, partitioned by digest hash
+across executors, and the natural skew-free key (digests are uniform by
+construction). Content never enters the state store; the wide text/token
+columns ride the emitted row only. ``ttl_minutes`` arms a
+processing-time timeout that expires idle digests — the SETEX analog —
+bounding state exactly as the reference bounds Redis memory (an expired
+digest re-admits the next duplicate, the documented TTL trade-off).
+
+Within one micro-batch, ties break to the MIN id (same representative
+the batch operator elects); across batches, arrival order decides — that
+is the defining semantic difference of the streaming form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = "digest string, doc_id string, dup_count int"
+STATE_SCHEMA = "first_id string, dups int"
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-wins streaming dedup -> (digest, doc_id, dup_count): one row
+    per NEW digest, emitted in the micro-batch where it first appears.
+    dup_count counts same-batch duplicates folded into that emission."""
+    import pandas as pd
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("_digest"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # TTL: forget the digest (SETEX expiry analog)
+            state.remove()
+            return
+
+        ids: list[str] = []
+        for pdf in pdfs:
+            ids.extend(pdf["_id"])
+        emit = None
+        if state.exists:
+            first_id, dups = state.get
+            state.update((first_id, dups + len(ids)))
+        elif ids:
+            first = min(ids)  # same-batch ties -> min id (batch parity)
+            state.update((first, len(ids) - 1))
+            emit = pd.DataFrame(
+                [{"digest": str(key[0]), "doc_id": first,
+                  "dup_count": len(ids) - 1}]
+            )
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if emit is not None:
+            yield emit
+
+    return keyed.groupBy("_digest").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if ttl_minutes is not None else "NoTimeout"
+        ),
+    )

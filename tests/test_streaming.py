@@ -200,3 +200,50 @@ def test_streaming_routed_keep_export(spark, tmp_path_factory):
     assert all(
         list(a) == list(b) for a, b in zip(merged["tokens"], merged["tokens_src"])
     )
+
+
+def test_dedup_stream_first_wins_across_batches(spark, tmp_path_factory):
+    """Streaming exact-dedup: first arrival of a digest passes, later
+    arrivals (across micro-batches) drop; same-batch ties elect min id."""
+    import glob
+
+    from otel_tail_sampler_spark.streaming.dedup_stream import dedup_stream
+
+    in_dir = tmp_path_factory.mktemp("dd_in")
+    out_dir = str(tmp_path_factory.mktemp("dd_out"))
+    # batch 1: A(id 1), B(id 2), same-batch dup of A (id 9)
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (9, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / "b1"))
+    stream_in = str(tmp_path_factory.mktemp("dd_stream"))
+    import shutil
+
+    shutil.copy(glob.glob(f"{in_dir}/b1/*.parquet")[0], f"{stream_in}/f1.parquet")
+    # batch 2: dup of A again (id 5) + new C (id 3)
+    spark.createDataFrame(
+        [(5, "alpha text"), (3, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / "b2"))
+    shutil.copy(glob.glob(f"{in_dir}/b2/*.parquet")[0], f"{stream_in}/f2.parquet")
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = (
+        dedup_stream(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = pd.read_parquet(out_dir).sort_values("doc_id")
+    # exactly one row per distinct text; A elected min id (1) with its
+    # same-batch dup counted; the cross-batch dups never re-emit
+    assert sorted(out["doc_id"]) == ["1", "2", "3"]
+    a = out[out["doc_id"] == "1"].iloc[0]
+    assert a["dup_count"] == 1
