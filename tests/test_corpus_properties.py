@@ -1,0 +1,90 @@
+"""Property-based tests for the corpus-kernel operators.
+
+Each property drives the Spark operator on hypothesis-generated corpora
+and compares against an OBVIOUS scalar Python reimplementation of the
+documented contract. Spark jobs per example are slow, so example counts
+are deliberately small — these hunt structural edge cases (empty docs,
+all-duplicate corpora, window/stride boundary alignment, unk-id
+collisions), not statistical coverage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
+from otel_tail_sampler_spark.operators.dedup import trim_dup_spans
+
+# small token universe so frequencies and duplicate windows actually occur
+TOKENS = st.lists(st.integers(min_value=-2, max_value=6), max_size=12)
+CORPUS = st.lists(TOKENS, min_size=1, max_size=8)
+
+
+def _ref_remap(docs: list[list[int]], min_freq: int, unk: int):
+    freq = Counter(t for d in docs for t in d)
+    out = []
+    for d in docs:
+        rare = [t for t in d if freq[t] < min_freq]
+        out.append(([unk if freq[t] < min_freq else t for t in d], len(rare)))
+    return out
+
+
+@pytest.mark.slow
+@given(CORPUS, st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None)
+def test_remap_matches_reference(spark, corpus, min_freq):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id long, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_unk"])
+        for r in remap_rare_tokens(df, min_freq=min_freq, unk_id=-1).collect()
+    }
+    want = _ref_remap(corpus, min_freq, -1)
+    assert got == {i: w for i, w in enumerate(want)}
+
+
+def _ref_trim(docs: list[list[int]], window: int, stride: int, min_count: int):
+    occ = []  # (hash, doc, start) in scan order
+    for i, d in enumerate(docs):
+        if len(d) >= window:
+            for s in range(0, len(d) - window + 1, stride):
+                h = hashlib.md5(
+                    ",".join(str(t) for t in d[s : s + window]).encode()
+                ).hexdigest()
+                occ.append((h, i, s))
+    counts = Counter(h for h, _, _ in occ)
+    first: dict[str, tuple[int, int]] = {}
+    for h, i, s in sorted(occ, key=lambda o: (o[0], o[1], o[2])):
+        first.setdefault(h, (i, s))
+    out = []
+    for i, d in enumerate(docs):
+        masked = set()
+        for h, j, s in occ:
+            if j == i and counts[h] >= min_count and first[h] != (i, s):
+                masked.update(range(s, s + window))
+        kept = [t for p, t in enumerate(d) if p not in masked]
+        out.append((kept, len(d) - len(kept)))
+    return out
+
+
+@pytest.mark.slow
+@given(CORPUS, st.integers(min_value=2, max_value=4), st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None)
+def test_trim_dup_spans_matches_reference(spark, corpus, window, stride):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id long, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_removed"])
+        for r in trim_dup_spans(
+            df, window=window, stride=stride, min_count=2
+        ).collect()
+    }
+    want = _ref_trim(corpus, window, stride, 2)
+    assert got == {i: w for i, w in enumerate(want)}
