@@ -1022,6 +1022,18 @@ def q_doc_rarity(spark, sf_dir):
     )
 
 
+def q_winnow_report(spark, sf_dir):
+    """Full MOSS similarity report: winnow pairs + both per-doc matched
+    fingerprint fractions over the cap-surviving fp sets."""
+    from otel_tail_sampler_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_similarity_report,
+    )
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
+    return winnow_similarity_report(fps, max_fp_df=16, min_shared=2)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: the doc_id-ordered token stream cut into 256-token
     training examples (canonical pre-training batch prep over the
@@ -1221,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_to_shards": q_corpus_to_shards,
         "doc_rarity": q_doc_rarity,
         "winnow_pairs": q_winnow_pairs,
+        "winnow_report": q_winnow_report,
         "contamination": q_contamination,  # n=8 + hot-gram cap this round
         "remap_rare_tokens": q_remap_rare_tokens,  # shuffle-free rewrite
         "pack_sequences": q_pack_sequences,  # persist-free rewrite
@@ -2223,6 +2236,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
             FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "winnow_report": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 4
+                          THEN [md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w) - 2)]
+                          ELSE [md5(array_to_string(w, ' '))] END AS h
+              FROM d),
+            wins AS (
+              SELECT doc_id,
+                     [list_min(h[j:j+4]) for j in range(1, greatest(len(h) - 4, 1) + 1)] AS fps
+              FROM g),
+            fpt AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+            keep AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= 16),
+            fk AS (SELECT doc_id, fp FROM fpt SEMI JOIN keep USING (fp)),
+            sz AS (SELECT doc_id, count(*) AS s FROM fk GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared / sa.s, 6) AS frac_a,
+                   round(n_shared / sb.s, 6) AS frac_b
+            FROM pr JOIN sz sa ON sa.doc_id = id_a
+                    JOIN sz sb ON sb.doc_id = id_b
         """,
         "split_corpus": f"""
             SELECT doc_id, source,

@@ -377,6 +377,61 @@ def winnow_candidate_pairs(
     )
 
 
+def winnow_similarity_report(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_fp_df: int | None = 16,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The full MOSS report over winnowing fingerprints: candidate pairs
+    plus BOTH containment fractions — n_shared/|fps(a)| and
+    n_shared/|fps(b)| (what MOSS shows as per-file match percentages; a
+    short file fully inside a long one scores high on its own side).
+
+    Fractions are computed over the CAP-SURVIVING fingerprint sets
+    (numerator and denominator consistently), so the hot-fp drop cannot
+    inflate a score. Scale shape = winnow_candidate_pairs + one per-doc
+    count aggregate (vocabulary-of-fingerprints sized) joined to the
+    (small) pair list. Outputs are exact integer ratios -> engine-stable
+    rounding.
+
+    -> (id_a, id_b, n_shared, frac_a, frac_b), rounded to 6 places.
+    """
+    base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if max_fp_df is not None:
+        keep = (
+            base.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("_fp")
+        )
+        base = base.join(keep, "_fp", "semi")
+    sizes = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = base.select(F.col("_fp"), F.col("_id").alias("id_a"))
+    b = base.select(F.col("_fp"), F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_sa"), 6).alias("frac_a"),
+            F.round(F.col("n_shared") / F.col("_sb"), 6).alias("frac_b"),
+        )
+    )
+
+
 def _poly_powers(k: int, base: int, mod: int) -> list[int]:
     """base^(k-1-j) % mod for j in 0..k-1 — shared by the numpy kernel and
     the DuckDB oracle so both hash with literally the same coefficients."""

@@ -531,6 +531,23 @@ def test_winnow_pairs_recall_vs_minhash_and_hot_fp_cap(spark, docs):
     assert capped.count() <= hot.count()
 
 
+def test_winnow_report_containment_asymmetry(spark):
+    """MOSS per-file fractions: a short doc fully inside a long one scores
+    ~1.0 on its own side and lower on the long doc's side."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    fps = T.winnow_fingerprints(df, k=4, window=5)
+    out = T.winnow_similarity_report(fps, max_fp_df=None, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["frac_a"] == 1.0        # every short-doc fingerprint matched
+    assert 0 < r["frac_b"] < 1.0     # long doc has extra fingerprints
+
+
 def test_contamination_string_ids_and_hot_gram_cap(spark):
     """(a) string doc ids must work — the tie-break is pure ordering, no
     arithmetic on the id; (b) max_gram_df prunes a planted stop-phrase
