@@ -131,29 +131,25 @@ def _nearest_clusters(vec: Column, centroids: list[list[float]], n: int) -> Colu
     return F.transform(top, lambda s: s.getField("cid"))
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 2,
     seed: int = 42,
     train_sample: int = 4096,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
     n_corpus: int | None = None,
-) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize the corpus into ``n_clusters``
-    inverted lists, probe the ``nprobe`` nearest lists per query, exact
-    re-rank within them. Pass ``n_corpus`` (the corpus row count, if the
-    caller already knows it) to skip the sizing count() action.
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index ONCE: train centroids on a deterministic sample
+    and assign every corpus vector to its inverted list.
 
-    Scale shape: one narrow pass assigns every corpus vector to a cluster
-    (centroids are literals — broadcast-free), the probe join is on the
-    cluster id (shuffle bounded by candidate volume ~ nprobe/n_clusters of the
-    corpus), and recall grows with nprobe. Train sample is collected once."""
+    -> (centroids, assigned) where ``assigned`` is
+    (corpus_id, _cv, cluster). At 100 TB this is the pass you MATERIALIZE
+    (write ``assigned`` partitioned by cluster; persist the centroid list
+    alongside) so every query batch after pays only the probe join —
+    retraining per search, as the one-shot ivf_topk does, re-reads the
+    corpus every call. Pass ``n_corpus`` (if already known) to skip the
+    sizing count() action."""
     # seeded RANDOM sample (limit() would take the first partitions only —
     # on a clustered/sorted corpus the centroids would learn one shard's
     # distribution). Oversample the fraction so the post-sample limit is a
@@ -180,22 +176,38 @@ def ivf_topk(
             dtype=np.float64,
         )
     if len(sample) == 0:
-        raise ValueError("ivf_topk: corpus is empty — nothing to train on")
+        raise ValueError("ivf_build: corpus is empty — nothing to train on")
     cents = ivf_centroids(
         sample, n_clusters=min(n_clusters, len(sample)), seed=seed
     )
 
     from otel_tail_sampler_spark.functions.spread import spread_small_input
 
-    c = spread_small_input(corpus).select(
+    assigned = spread_small_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("_cv")
     ).withColumn("cluster", _nearest_clusters(F.col("_cv"), cents, 1)[0])
+    return cents, assigned
+
+
+def ivf_search(
+    centroids: list[list[float]],
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Search a built IVF index: probe the ``nprobe`` nearest inverted
+    lists per query, exact re-rank within them. ``assigned`` may be the
+    live DataFrame from ivf_build or a re-read of its materialized form
+    (a scan partitioned by ``cluster`` prunes to the probed lists)."""
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
     ).withColumn(
-        "cluster", F.explode(_nearest_clusters(F.col("_qv"), cents, nprobe))
+        "cluster", F.explode(_nearest_clusters(F.col("_qv"), centroids, nprobe))
     )
-    scored = c.join(F.broadcast(q), "cluster").withColumn(
+    scored = assigned.join(F.broadcast(q), "cluster").withColumn(
         "cosine", cosine_sim(F.col("_cv"), F.col("_qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -203,6 +215,49 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    train_sample: int = 4096,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """One-shot IVF approximate top-k: ivf_build + ivf_search in one call.
+    For repeated query batches over the same corpus, call ivf_build once
+    (materialize the assignment) and ivf_search per batch instead —
+    retraining per call is the scale anti-pattern this split removes.
+
+    Scale shape: one narrow pass assigns every corpus vector to a cluster
+    (centroids are literals — broadcast-free), the probe join is on the
+    cluster id (shuffle bounded by candidate volume ~ nprobe/n_clusters of the
+    corpus), and recall grows with nprobe. Train sample is collected once."""
+    cents, assigned = ivf_build(
+        corpus,
+        n_clusters=n_clusters,
+        seed=seed,
+        train_sample=train_sample,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        n_corpus=n_corpus,
+    )
+    return ivf_search(
+        cents,
+        assigned,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+        query_vec=query_vec,
     )
 
 

@@ -531,6 +531,25 @@ def test_winnow_pairs_recall_vs_minhash_and_hot_fp_cap(spark, docs):
     assert capped.count() <= hot.count()
 
 
+def test_ivf_build_search_split_matches_one_shot(spark, emb, tmp_path):
+    """ivf_build + ivf_search == ivf_topk, including through a materialized
+    cluster-partitioned index (the 100 TB reuse pattern)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    one_shot = S.ivf_topk(emb, queries, k=5, n_clusters=4, nprobe=2).collect()
+    cents, assigned = S.ivf_build(emb, n_clusters=4)
+    split = S.ivf_search(cents, assigned, queries, k=5, nprobe=2).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in rows)
+    assert key(split) == key(one_shot)
+    # materialize the index, search from the re-read (partition-pruned scan)
+    idx = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cluster").parquet(idx)
+    re_read = spark.read.parquet(idx)
+    again = S.ivf_search(cents, re_read, queries, k=5, nprobe=2).collect()
+    assert key(again) == key(one_shot)
+
+
 def test_winnow_report_containment_asymmetry(spark):
     """MOSS per-file fractions: a short doc fully inside a long one scores
     ~1.0 on its own side and lower on the long doc's side."""
