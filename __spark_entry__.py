@@ -910,8 +910,13 @@ def q_contamination(spark, sf_dir):
     with hot grams (train document frequency > 2) pruned before the join
     so stop-phrase fanout stays bounded at corpus scale.
 
-    Deterministic split of the documents table (doc_id % 10 == 0 -> eval);
-    exact-dup eval docs report containment 1.0 and flag contaminated.
+    Deterministic split of the documents table (doc_id % 10 == 0 -> eval).
+    The cap trade-off (documented on the operator): an eval text whose
+    grams ALL exceed the train-side cap — e.g. duplicated verbatim in 3+
+    train docs at this cap — reports clean here; verbatim copies are the
+    exact-dedup family's job (dedup_exact), which this cap deliberately
+    leaves to it. Eval docs matching <= cap train docs report containment
+    1.0 as before.
     """
     from otel_tail_sampler_spark.operators.dedup import contamination
 
@@ -2083,19 +2088,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_tokenize": """
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                   CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
                         ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
-                              for x in string_split(trim(text), ' ')] END AS tokens,
-                   (CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split(trim(text), ' ')) END)::INT AS n_tok
+                              for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens,
+                   (CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                        ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)::INT AS n_tok
             FROM documents
         """,
         "dup_token_spans": """
             WITH tok AS (
               SELECT doc_id,
                      [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
-                      for x in string_split(trim(text), ' ')] AS tokens
-              FROM documents WHERE trim(text) <> ''
+                      for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] AS tokens
+              FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
             ),
             ex AS (
               SELECT doc_id, unnest(range(0, greatest(len(tokens) - 15, 0), 8)) AS s,
@@ -2113,9 +2118,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_to_shards": """
             WITH tok AS (
               SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                     CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
                           ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
-                                for x in string_split(trim(text), ' ')] END AS tokens
+                                for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens
               FROM documents
             ),
             o AS (
@@ -2158,9 +2163,9 @@ def oracle_sql() -> dict[str, str]:
         "trim_dup_spans": """
             WITH tok AS (
               SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::INTEGER[]
+                     CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
                           ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
-                                for x in string_split(trim(text), ' ')] END AS tokens
+                                for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens
               FROM documents
             ),
             ex AS (

@@ -20,13 +20,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# logical-plan node names whose presence means the input already went (or
+# will go) through an exchange — its parallelism is session-sized, AND
+# touching .rdd would make AQE materialize those shuffle stages EAGERLY at
+# plan time, running the upstream DAG twice. Spread only narrow scans.
+_WIDE_NODES = (
+    "Join", "Aggregate", "Window", "Repartition", "Sort",
+    "Distinct", "Deduplicate", "Intersect", "Except",
+)
+
+
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition ``df`` to the session default parallelism iff its planned
-    partition count is smaller. No-op (and no shuffle) otherwise."""
+    """Repartition ``df`` to the session default parallelism iff it is a
+    NARROW plan (scan/filter/project/map only) whose planned partition
+    count is smaller. No-op otherwise — a post-shuffle input already has
+    session-sized parallelism, and inspecting its .rdd under AQE would
+    eagerly execute the upstream shuffle stages (they would then run
+    again at action time)."""
     if df.isStreaming:  # no static partition plan to inspect; leave as-is
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _WIDE_NODES):
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism
+    # narrow plan: no exchanges, so .rdd plans lazily without running jobs
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

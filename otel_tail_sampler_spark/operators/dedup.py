@@ -457,6 +457,46 @@ def contamination(
 # --- token-window (substring) dedup ------------------------------------------
 
 
+def _window_hashes(
+    tokenized: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str,
+    tok_col: str,
+) -> DataFrame:
+    """(id, win_start, _h) for every ``window``-token span at ``stride``
+    offsets — THE span identity shared by detection (dup_token_spans) and
+    trimming (trim_dup_spans): md5 over the comma-joined decimal tokens
+    (engine-parity family). Both operators MUST hash identically or
+    detect/trim would disagree on what a duplicated span is. Token arrays
+    stay behind; only the slim triple leaves this stage."""
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    tokenized = spread_small_input(tokenized)  # window md5s run pre-exchange
+    t = F.col(tok_col)
+    starts = F.when(
+        F.size(t) >= window,
+        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return tokenized.select(
+        F.col(id_col),
+        F.explode(starts).alias("win_start"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "win_start",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("_t"), F.col("win_start") + 1, window),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("_h"),
+    )
+
+
 def dup_token_spans(
     tokenized: DataFrame,
     window: int = 32,
@@ -482,33 +522,10 @@ def dup_token_spans(
     in the paper's suffix-array approximations.
 
     Hashes are md5 over the comma-joined decimal tokens — the repo's
-    engine-parity family, so the operator is DuckDB-hash-checkable.
+    engine-parity family (shared with trim_dup_spans via _window_hashes),
+    so the operator is DuckDB-hash-checkable.
     """
-    from otel_tail_sampler_spark.functions.spread import spread_small_input
-
-    tokenized = spread_small_input(tokenized)  # window md5s run pre-exchange
-    t = F.col(tok_col)
-    starts = F.when(
-        F.size(t) >= window,
-        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    ex = tokenized.select(
-        F.col(id_col),
-        F.explode(starts).alias("win_start"),
-        t.alias("_t"),
-    ).select(
-        id_col,
-        "win_start",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("_t"), F.col("win_start") + 1, window),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("_h"),
-    )
+    ex = _window_hashes(tokenized, window, stride, id_col, tok_col)
     counts = (
         ex.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("dup_count"))
@@ -544,31 +561,7 @@ def trim_dup_spans(
     """
     from pyspark.sql import Window as W
 
-    from otel_tail_sampler_spark.functions.spread import spread_small_input
-
-    tokenized = spread_small_input(tokenized)
-    t = F.col(tok_col)
-    starts = F.when(
-        F.size(t) >= window,
-        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    ex = tokenized.select(
-        F.col(id_col),
-        F.explode(starts).alias("win_start"),
-        t.alias("_t"),
-    ).select(
-        id_col,
-        "win_start",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("_t"), F.col("win_start") + 1, window),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("_h"),
-    )
+    ex = _window_hashes(tokenized, window, stride, id_col, tok_col)
     w_first = W.partitionBy("_h").orderBy(F.asc(id_col), F.asc("win_start"))
     occ = ex.withColumn("_rn", F.row_number().over(w_first)).withColumn(
         "_cnt", F.count(F.lit(1)).over(W.partitionBy("_h"))

@@ -44,14 +44,18 @@ from otel_tail_sampler_spark.functions.hashing import hash_frac
 
 
 def _pack_bucket_bounds(
-    df: DataFrame, id_col: str, n_buckets: int
+    df: DataFrame, id_col: str, n_buckets: int, n_rows: int | None = None
 ) -> list:
     """Deterministic range-bucket boundaries for the id column: collect a
     hash-fraction sample (pure function of the data — NOT an RNG sample, so
     every pass and every rerun sees the same boundaries), sort on the
     driver, take ``n_buckets - 1`` evenly spaced cut points. The sample is
-    ~64 ids per target bucket: tiny on the driver at any corpus size."""
-    n = df.count()
+    ~64 ids per target bucket: tiny on the driver at any corpus size.
+
+    The count sizes the sampling fraction only — callers that already
+    know the row count pass ``n_rows`` and skip that scan (run_corpus_prep
+    does); the boundary-sample pass itself is column-pruned to the id."""
+    n = df.count() if n_rows is None else n_rows
     if n == 0 or n_buckets <= 1:
         return []
     p = min(1.0, (64.0 * n_buckets) / n)
@@ -87,9 +91,12 @@ def pack_sequences(
     id_col: str = "doc_id",
     tok_col: str = "tokens",
     n_buckets: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """-> (example_id long, tokens array<int>, n_tok int): consecutive
-    ``max_len``-token examples of the doc_id-ordered concatenated stream."""
+    ``max_len``-token examples of the doc_id-ordered concatenated stream.
+    Pass ``n_rows`` (the input row count, if known) to skip the
+    fraction-sizing count scan."""
     from typing import Iterator
 
     import pandas as pd
@@ -97,7 +104,7 @@ def pack_sequences(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    bounds = _pack_bucket_bounds(df.select(id_col), id_col, n_buckets)
+    bounds = _pack_bucket_bounds(df.select(id_col), id_col, n_buckets, n_rows)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(tok_col).alias("_t"),

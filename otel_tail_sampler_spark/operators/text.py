@@ -317,8 +317,15 @@ def hash_tokenize(
     array, all JVM-side, no shuffle, no Python. md5-derived ids are the
     engine-parity hash family the repo uses everywhere (bit-identical in
     DuckDB, so token arrays hash-check exactly).
+
+    Whitespace contract: runs of ANY whitespace collapse to one separator
+    before splitting (normalize -> trim -> split), so tab- or
+    multi-space-separated text tokenizes identically in Spark and the
+    DuckDB oracle — a bare split-on-\\s+ would emit a leading empty word
+    for leading tabs (Spark trim strips spaces only).
     """
-    w = words(F.col(text_col))
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    w = F.split(norm, " ")
     toks = F.transform(
         w,
         lambda x: F.pmod(
@@ -326,12 +333,44 @@ def hash_tokenize(
             F.lit(int(vocab_size)),
         ).cast("int"),
     )
-    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<int>")).otherwise(toks)
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<int>")).otherwise(toks)
     return docs.select(
         F.col(id_col),
         toks.alias("tokens"),
         F.size(toks).cast("int").alias("n_tok"),
     )
+
+
+def _capped_fp_base_and_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_fp_df: int | None,
+    min_shared: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of winnow_candidate_pairs / winnow_similarity_report:
+    the hot-fp-capped (_id, _fp) base and the (id_a, id_b, n_shared) pair
+    list over it. One definition so the pair list and the report can never
+    diverge on cap semantics."""
+    base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if max_fp_df is not None:
+        keep = (
+            base.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("_fp")
+        )
+        base = base.join(keep, "_fp", "semi")
+    a = base.select(F.col("_fp"), F.col("_id").alias("id_a"))
+    b = base.select(F.col("_fp"), F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return base, pairs
 
 
 def winnow_candidate_pairs(
@@ -357,24 +396,10 @@ def winnow_candidate_pairs(
     D² pair rows). With the cap, per-fp fanout is bounded by
     max_fp_df², and only (fp, id) rows ever shuffle.
     """
-    base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    if max_fp_df is not None:
-        keep = (
-            base.groupBy("_fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_fp_df)
-            .select("_fp")
-        )
-        base = base.join(keep, "_fp", "semi")
-    a = base.select(F.col("_fp"), F.col("_id").alias("id_a"))
-    b = base.select(F.col("_fp"), F.col("_id").alias("id_b"))
-    return (
-        a.join(b, "_fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    _, pairs = _capped_fp_base_and_pairs(
+        fps, id_col, fp_col, max_fp_df, min_shared
     )
+    return pairs
 
 
 def winnow_similarity_report(
@@ -398,25 +423,10 @@ def winnow_similarity_report(
 
     -> (id_a, id_b, n_shared, frac_a, frac_b), rounded to 6 places.
     """
-    base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    if max_fp_df is not None:
-        keep = (
-            base.groupBy("_fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_fp_df)
-            .select("_fp")
-        )
-        base = base.join(keep, "_fp", "semi")
-    sizes = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = base.select(F.col("_fp"), F.col("_id").alias("id_a"))
-    b = base.select(F.col("_fp"), F.col("_id").alias("id_b"))
-    pairs = (
-        a.join(b, "_fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    base, pairs = _capped_fp_base_and_pairs(
+        fps, id_col, fp_col, max_fp_df, min_shared
     )
+    sizes = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
     return (

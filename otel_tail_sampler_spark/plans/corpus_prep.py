@@ -70,14 +70,23 @@ def run_corpus_prep(
     trimmed = trim_dup_spans(
         toks, window=trim_window, stride=trim_stride
     )
-    # one aggregation action collects the doc/token accounting
+    # MATERIALIZE the trimmed corpus once: everything upstream (dedup
+    # groupBy, repetition join, semi-join, tokenize, trim) runs exactly one
+    # time; the accounting aggregate and packing's several passes then read
+    # the cheap column-pruned parquet instead of re-executing the DAG
+    # (previously ~5 full recomputations of the most expensive stages).
+    # The tokenized table is also a useful artifact in its own right.
+    trimmed.write.mode("overwrite").parquet(f"{out_dir}/tokenized")
+    trimmed = spark.read.parquet(f"{out_dir}/tokenized")
     acct = trimmed.agg(
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum(F.size("tokens")).alias("tokens_out"),
         F.sum("n_removed").alias("tokens_trimmed"),
     ).collect()[0]
 
-    packed = pack_sequences(trimmed, max_len=max_len)
+    packed = pack_sequences(
+        trimmed, max_len=max_len, n_rows=int(acct["docs_kept"] or 0)
+    )
     write_shards(packed, f"{out_dir}/shards", n_shards=n_shards)
     shards = spark.read.parquet(f"{out_dir}/shards")
     n_examples = shards.count()

@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-OUT_SCHEMA = "digest string, doc_id string, dup_count int"
-STATE_SCHEMA = "first_id string, dups int"
 
 
 def dedup_stream(
@@ -39,12 +37,21 @@ def dedup_stream(
 ) -> DataFrame:
     """First-wins streaming dedup -> (digest, doc_id, dup_count): one row
     per NEW digest, emitted in the micro-batch where it first appears.
-    dup_count counts same-batch duplicates folded into that emission."""
+    dup_count counts same-batch duplicates folded into that emission.
+
+    The id keeps its ORIGINAL type end-to-end (schemas are derived from
+    the input), so the same-batch min-id election orders exactly like the
+    batch operator's F.min — stringifying ids first would elect "10"
+    before "2" and silently diverge from exact_dedup's representative."""
     import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"digest string, doc_id {id_type}, dup_count int"
+    state_schema = f"first_id {id_type}, dups int"
 
     keyed = docs.select(
         F.md5(F.col(text_col)).alias("_digest"),
-        F.col(id_col).cast("string").alias("_id"),
+        F.col(id_col).alias("_id"),
     )
 
     def fn(key, pdfs, state):
@@ -60,7 +67,11 @@ def dedup_stream(
             first_id, dups = state.get
             state.update((first_id, dups + len(ids)))
         elif ids:
-            first = min(ids)  # same-batch ties -> min id (batch parity)
+            # same-batch ties -> min id in the column's NATIVE ordering
+            # (numeric ids compare numerically, exactly like batch F.min)
+            first = min(ids)
+            if hasattr(first, "item"):  # numpy scalar -> python for state
+                first = first.item()
             state.update((first, len(ids) - 1))
             emit = pd.DataFrame(
                 [{"digest": str(key[0]), "doc_id": first,
@@ -73,8 +84,8 @@ def dedup_stream(
 
     return keyed.groupBy("_digest").applyInPandasWithState(
         fn,
-        outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=(
             "ProcessingTimeTimeout" if ttl_minutes is not None else "NoTimeout"

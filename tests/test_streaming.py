@@ -211,18 +211,19 @@ def test_dedup_stream_first_wins_across_batches(spark, tmp_path_factory):
 
     in_dir = tmp_path_factory.mktemp("dd_in")
     out_dir = str(tmp_path_factory.mktemp("dd_out"))
-    # batch 1: A(id 1), B(id 2), same-batch dup of A (id 9)
+    # batch 1: A(ids 2 and 10 — the pair a stringified min would order
+    # wrong: "10" < "2" lexicographically), B(id 3)
     spark.createDataFrame(
-        [(1, "alpha text"), (2, "beta text"), (9, "alpha text")],
+        [(10, "alpha text"), (3, "beta text"), (2, "alpha text")],
         "doc_id long, text string",
     ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / "b1"))
     stream_in = str(tmp_path_factory.mktemp("dd_stream"))
     import shutil
 
     shutil.copy(glob.glob(f"{in_dir}/b1/*.parquet")[0], f"{stream_in}/f1.parquet")
-    # batch 2: dup of A again (id 5) + new C (id 3)
+    # batch 2: dup of A again (id 5) + new C (id 7)
     spark.createDataFrame(
-        [(5, "alpha text"), (3, "gamma text")], "doc_id long, text string"
+        [(5, "alpha text"), (7, "gamma text")], "doc_id long, text string"
     ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / "b2"))
     shutil.copy(glob.glob(f"{in_dir}/b2/*.parquet")[0], f"{stream_in}/f2.parquet")
 
@@ -242,8 +243,8 @@ def test_dedup_stream_first_wins_across_batches(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
     out = pd.read_parquet(out_dir).sort_values("doc_id")
-    # exactly one row per distinct text; A elected min id (1) with its
-    # same-batch dup counted; the cross-batch dups never re-emit
-    assert sorted(out["doc_id"]) == ["1", "2", "3"]
-    a = out[out["doc_id"] == "1"].iloc[0]
+    # exactly one row per distinct text; A elected NUMERIC min id (2, not
+    # "10") with its same-batch dup counted; cross-batch dups never re-emit
+    assert sorted(out["doc_id"]) == [2, 3, 7]
+    a = out[out["doc_id"] == 2].iloc[0]
     assert a["dup_count"] == 1
