@@ -1532,7 +1532,7 @@ def oracle_sql() -> dict[str, str]:
     )
     lsh_ctes = f"""sh AS (
               SELECT doc_id, {_shingle_sql(3)} AS shingles
-              FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
             ),
             sigs AS (SELECT doc_id, {sig12} FROM sh),
             bands AS (SELECT doc_id, {band_keys} FROM sigs),
@@ -1957,7 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": f"""
             WITH sh AS (
               SELECT doc_id, {_shingle_sql(3)} AS shingles
-              FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
             )
             SELECT doc_id,
                    array_to_string([{minhash8}], ',') AS minhash_csv
@@ -1988,7 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH ex AS (
               SELECT doc_id,
-                     ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 4))::BIGINT AS h
+                     ('0x' || substring(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 4))::BIGINT AS h
               FROM documents
             ),
             bits AS (SELECT doc_id, {', '.join(simhash_bits)} FROM ex GROUP BY 1)
@@ -1997,7 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct({_shingle_sql(3)})) AS s
-              FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
             inter AS (
@@ -2013,7 +2013,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i / (sa.sz + sb.sz - i) >= 0.35
         """,
         "contamination": f"""
-            WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
             ev AS (
               SELECT doc_id AS eval_id, unnest(list_distinct({_shingle_sql(8)})) AS s
               FROM d WHERE doc_id % 10 = 0
@@ -2344,7 +2344,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN winners USING (doc_id)
             ),
             w AS (
-              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM base
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM base
             ),
             per_w AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
             wa AS (
@@ -2479,7 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": redact_sql,
         "repetition_signals": """
             WITH w AS (
-              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
             ),
             per_w AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
             wa AS (
@@ -2490,7 +2490,7 @@ def oracle_sql() -> dict[str, str]:
             b AS (
               SELECT doc_id,
                      unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS bg
-              FROM (SELECT doc_id, string_split(trim(text), ' ') AS wl FROM documents)
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wl FROM documents)
               WHERE len(wl) >= 2
             ),
             per_b AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),

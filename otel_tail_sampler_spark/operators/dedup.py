@@ -59,13 +59,13 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def words(text: Column) -> Column:
-    """Whitespace contract: assumes single-space-normalized text (what the
-    corpus generators emit, and what every paired DuckDB oracle splits on).
-    On text with tabs or leading runs of whitespace, split-on-\\s+ and the
-    oracles' split-on-' ' can diverge (Spark trim strips spaces only) —
-    hash_tokenize carries the fully-normalized form (normalize -> trim ->
-    split); migrating this helper + its eight paired oracles to that form
-    is queued (ROADMAP round-4)."""
+    """Whitespace contract: every paired DuckDB oracle splits with
+    ``string_split_regex(trim(text), '\\s+')`` — the exact same
+    trim-spaces-then-split-on-\\s+ semantics as this expression, so word
+    arrays are bit-identical across engines on ANY whitespace (tabs,
+    runs, leading/trailing), including the edge quirks (both engines keep
+    a leading empty element for leading non-space whitespace, and both
+    yield [''] for empty text — callers guard that case)."""
     return F.split(F.trim(text), r"\s+")
 
 
