@@ -222,6 +222,26 @@ def q_error_short_circuit(spark, sf_dir):
     )
 
 
+def _tokens_md5(col_name: str = "tokens"):
+    """Cross-engine value hash of an int-array column: md5 over the
+    comma-joined decimal tokens (DuckDB twin:
+    ``md5(coalesce(array_to_string(tokens, ','), ''))`` — the coalesce
+    because DuckDB's array_to_string is string_agg underneath and yields
+    NULL on an empty list where Spark's concat_ws yields ''). Same
+    span-identity hash _window_hashes uses internally. The driver's
+    canonicalizer sorts result rows with pandas.sort_values, which raises
+    on list-valued columns, so every query output carrying a raw
+    ``array<int>`` column projects it through this helper instead: full
+    value equality is still checked (any token diff changes the md5) and
+    the output schema stays driver-sortable. Root cause of the 6 ERR rows
+    in CORRECTNESS_r03."""
+    return F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col(col_name), lambda x: x.cast("string"))
+        )
+    )
+
+
 def _stringify_map(col_name: str):
     """Portable map hash: sorted 'k=v' CSV (maps don't canonicalize across
     engines; strings do)."""
@@ -969,7 +989,9 @@ def q_hash_tokenize(spark, sf_dir):
     ids, bridging documents to the input_hint tokenized shape."""
     from otel_tail_sampler_spark.operators.text import hash_tokenize
 
-    return hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    return hash_tokenize(_docs(spark, sf_dir), vocab_size=4096).select(
+        "doc_id", _tokens_md5().alias("tokens_md5"), "n_tok"
+    )
 
 
 def q_dup_token_spans(spark, sf_dir):
@@ -990,7 +1012,9 @@ def q_trim_dup_spans(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import hash_tokenize
 
     toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
-    return trim_dup_spans(toks, window=16, stride=8, min_count=2)
+    return trim_dup_spans(toks, window=16, stride=8, min_count=2).select(
+        "doc_id", _tokens_md5().alias("tokens_md5"), "n_removed"
+    )
 
 
 def q_corpus_to_shards(spark, sf_dir):
@@ -1007,7 +1031,11 @@ def q_corpus_to_shards(spark, sf_dir):
     toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
     packed = pack_sequences(toks, max_len=256)
     return assign_shards(packed, n_shards=8).select(
-        "example_id", "tokens", "n_tok", "shard", "shard_pos"
+        "example_id",
+        _tokens_md5().alias("tokens_md5"),
+        "n_tok",
+        "shard",
+        "shard_pos",
     )
 
 
@@ -1046,7 +1074,9 @@ def q_pack_sequences(spark, sf_dir):
     from otel_tail_sampler_spark.operators.packing import pack_sequences
 
     tok = _dataset(sf_dir)["tokenized"]
-    return pack_sequences(spark.read.parquet(tok), max_len=256)
+    return pack_sequences(spark.read.parquet(tok), max_len=256).select(
+        "example_id", _tokens_md5().alias("tokens_md5"), "n_tok"
+    )
 
 
 def q_assign_shards(spark, sf_dir):
@@ -1071,7 +1101,9 @@ def q_remap_rare_tokens(spark, sf_dir):
     from otel_tail_sampler_spark.operators.corpus import remap_rare_tokens
 
     tok = _dataset(sf_dir)["tokenized"]
-    return remap_rare_tokens(spark.read.parquet(tok), min_freq=2)
+    return remap_rare_tokens(spark.read.parquet(tok), min_freq=2).select(
+        "doc_id", _tokens_md5().alias("tokens_md5"), "n_unk"
+    )
 
 
 def q_split_corpus(spark, sf_dir):
@@ -1094,7 +1126,9 @@ def q_pack_with_boundaries(spark, sf_dir):
     wrapped = add_special_tokens(
         spark.read.parquet(tok), bos_id=-101, eos_id=-100
     )
-    return pack_sequences(wrapped, max_len=256)
+    return pack_sequences(wrapped, max_len=256).select(
+        "example_id", _tokens_md5().alias("tokens_md5"), "n_tok"
+    )
 
 
 MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
@@ -1224,70 +1258,26 @@ def q_doc_quality(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness artifact records the
-    FIRST 50 entries, so the dict is ordered least-proven-first — entries
-    that are new, changed this round, or have fewer prior green driver
-    rounds sit in the window; multi-round-green stalwarts (every value
-    below '# stalwarts' was rows+schema+hash green in BOTH r1 and r2
-    driver artifacts) sit in the tail and keep their local-oracle coverage
-    via scripts/check_oracles.py + pytest."""
+    FIRST 50 entries, so the dict is ordered least-proven-first and the
+    window ROTATES by last-green round: (1) entries changed this round
+    (the r3-ERR array outputs, now stringified, plus the de-skewed trim),
+    (2) the r1+r2-green stalwart tier that rotated OUT of the r3 window
+    and therefore has no r3 driver row, (3) pipeline-tier entries to fill
+    the window. The r3-green text/packing/winnow tier sits in the tail
+    this round and leads the r5 window — every query keeps a driver row
+    at most one round old, and scripts/check_oracles.py + pytest re-prove
+    the tail locally every round."""
     return {
-        # -- new or changed this round (no driver row yet on this shape) --
+        # -- changed this round: r3-ERR outputs now driver-sortable
+        #    (md5-stringified arrays) + the de-skewed trim election --
         "hash_tokenize": q_hash_tokenize,
-        "dup_token_spans": q_dup_token_spans,
         "trim_dup_spans": q_trim_dup_spans,
         "corpus_to_shards": q_corpus_to_shards,
-        "doc_rarity": q_doc_rarity,
-        "winnow_pairs": q_winnow_pairs,
-        "winnow_report": q_winnow_report,
-        "contamination": q_contamination,  # n=8 + hot-gram cap this round
-        "remap_rare_tokens": q_remap_rare_tokens,  # shuffle-free rewrite
-        "pack_sequences": q_pack_sequences,  # persist-free rewrite
+        "pack_sequences": q_pack_sequences,
+        "remap_rare_tokens": q_remap_rare_tokens,
         "pack_with_boundaries": q_pack_with_boundaries,
-        "assign_shards": q_assign_shards,
-        # -- packing/corpus/text tier: judge-verified locally in r2, never
-        #    yet inside the driver window --
-        "winnow_poly": q_winnow_poly,
-        "prepare_corpus": q_prepare_corpus,
-        "split_corpus": q_split_corpus,
-        "vocab_histogram": q_vocab_histogram,
-        "mixture_sample": q_mixture_sample,
-        "text_stats": q_text_stats,
-        "repetition_signals": q_repetition_signals,
-        "redact_pii": q_redact_pii,
-        "token_counts": q_token_counts,
-        "doc_quality": q_doc_quality,
-        # rows-only checks (approximate / stubbed ops: no exact SQL oracle)
-        "lsh_topk_approx": q_lsh_topk_approx,
-        "ivf_topk_approx": q_ivf_topk_approx,
-        "multimodal_features": q_multimodal_features,
-        # -- one green driver round (r2) --
-        "trace_assembly": q_trace_assembly,
-        "trace_assembly_salted": q_trace_assembly_salted,
-        "configurable_policy": q_configurable_policy,
-        "combine_all_match": q_combine_all_match,
-        "combine_consensus": q_combine_consensus,
-        "combine_priority": q_combine_priority,
-        "export_projection": q_export_projection,
-        "compression_export": q_compression_export,
-        "buffer_stats": q_buffer_stats,
-        "sql_on_lake": q_sql_on_lake,
-        "operation_type": q_operation_type,
-        "resource_attrs": q_resource_attrs,
-        "error_traces_recent": q_error_traces_recent,
-        "span_service_stats": q_span_service_stats,
-        "span_compression": q_span_compression,
-        "enrich_broadcast": q_enrich_broadcast,
-        "exported_dedup_ttl": q_exported_dedup_ttl,
-        "trace_readiness": q_trace_readiness,
-        "events_session_agg": q_events_session_agg,
-        "events_sessionize": q_events_sessionize,
-        "dedup_components": q_dedup_components,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        # -- stalwarts: green in BOTH r1 and r2 driver artifacts (tail;
-        #    covered per-round by scripts/check_oracles.py + pytest) --
-        "parse_spans": q_parse_spans,
+        # -- stalwarts with NO r3 driver row (r1+r2 green; rotated out of
+        #    the r3 window) --
         "policy_decisions": q_policy_decisions,
         "sink_counts": q_sink_counts,
         "routed_keep_rows": q_routed_keep_rows,
@@ -1312,6 +1302,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        # -- window fill: pipeline tier (last green r3) --
+        "trace_assembly": q_trace_assembly,
+        "trace_assembly_salted": q_trace_assembly_salted,
+        "configurable_policy": q_configurable_policy,
+        "combine_all_match": q_combine_all_match,
+        "combine_consensus": q_combine_consensus,
+        "combine_priority": q_combine_priority,
+        "export_projection": q_export_projection,
+        "compression_export": q_compression_export,
+        "buffer_stats": q_buffer_stats,
+        "sql_on_lake": q_sql_on_lake,
+        "operation_type": q_operation_type,
+        "resource_attrs": q_resource_attrs,
+        "error_traces_recent": q_error_traces_recent,
+        "span_service_stats": q_span_service_stats,
+        "span_compression": q_span_compression,
+        "enrich_broadcast": q_enrich_broadcast,
+        "exported_dedup_ttl": q_exported_dedup_ttl,
+        "trace_readiness": q_trace_readiness,
+        "events_session_agg": q_events_session_agg,
+        "events_sessionize": q_events_sessionize,
+        # ---- window boundary (exactly 50 above) ----
+        # -- tail: green in the r3 driver artifact; leads the r5 window --
+        "dedup_components": q_dedup_components,
+        "parse_spans": q_parse_spans,
+        "dup_token_spans": q_dup_token_spans,
+        "doc_rarity": q_doc_rarity,
+        "winnow_pairs": q_winnow_pairs,
+        "winnow_report": q_winnow_report,
+        "contamination": q_contamination,
+        "assign_shards": q_assign_shards,
+        "winnow_poly": q_winnow_poly,
+        "prepare_corpus": q_prepare_corpus,
+        "split_corpus": q_split_corpus,
+        "vocab_histogram": q_vocab_histogram,
+        "mixture_sample": q_mixture_sample,
+        "text_stats": q_text_stats,
+        "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
+        "token_counts": q_token_counts,
+        "doc_quality": q_doc_quality,
+        "lsh_topk_approx": q_lsh_topk_approx,
+        "ivf_topk_approx": q_ivf_topk_approx,
+        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2087,13 +2124,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
         """,
         "hash_tokenize": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
+                          ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                                for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens,
+                     (CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                          ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)::INT AS n_tok
+              FROM documents
+            )
             SELECT doc_id,
-                   CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
-                        ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
-                              for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens,
-                   (CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
-                        ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)::INT AS n_tok
-            FROM documents
+                   md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+                   n_tok
+            FROM t
         """,
         "dup_token_spans": """
             WITH tok AS (
@@ -2155,7 +2198,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, (('0x' || substring(hx, 1, 15))::BIGINT % 8)::INT AS shard
               FROM sh
             )
-            SELECT example_id, tokens, n_tok, shard,
+            SELECT example_id,
+                   md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+                   n_tok, shard,
                    (row_number() OVER (PARTITION BY shard
                                        ORDER BY hx, example_id) - 1)::INT AS shard_pos
             FROM s2
@@ -2198,7 +2243,7 @@ def oracle_sql() -> dict[str, str]:
               FROM kept k JOIN tok USING (doc_id) GROUP BY k.doc_id
             )
             SELECT t.doc_id,
-                   coalesce(rb.toks, []::INTEGER[]) AS tokens,
+                   md5(coalesce(array_to_string(rb.toks, ','), '')) AS tokens_md5,
                    (len(t.tokens) - coalesce(rb.nk, 0))::INT AS n_removed
             FROM tok t LEFT JOIN rebuilt rb USING (doc_id)
         """,
@@ -2307,7 +2352,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT example_id, flatten(list(sl ORDER BY gs)) AS tokens
               FROM cut GROUP BY example_id
             )
-            SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
+            SELECT example_id,
+                   md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+                   len(tokens)::INT AS n_tok FROM ex
         """,
         "pack_sequences": f"""
             WITH o AS (
@@ -2333,7 +2380,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT example_id, flatten(list(sl ORDER BY gs)) AS tokens
               FROM cut GROUP BY example_id
             )
-            SELECT example_id, tokens, len(tokens)::INT AS n_tok FROM ex
+            SELECT example_id,
+                   md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+                   len(tokens)::INT AS n_tok FROM ex
         """,
         "prepare_corpus": f"""
             WITH winners AS (
@@ -2393,7 +2442,7 @@ def oracle_sql() -> dict[str, str]:
               FROM m GROUP BY 1
             )
             SELECT t.doc_id,
-                   coalesce(rb.toks, []::INTEGER[]) AS tokens,
+                   md5(coalesce(array_to_string(rb.toks, ','), '')) AS tokens_md5,
                    coalesce(rb.n_unk, 0)::INT AS n_unk
             FROM tok t LEFT JOIN rb USING (doc_id)
         """,

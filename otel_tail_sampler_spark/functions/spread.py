@@ -19,15 +19,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-
-# logical-plan node names whose presence means the input already went (or
-# will go) through an exchange — its parallelism is session-sized, AND
-# touching .rdd would make AQE materialize those shuffle stages EAGERLY at
-# plan time, running the upstream DAG twice. Spread only narrow scans.
-_WIDE_NODES = (
+# logical-plan node CLASS-NAME PREFIXES whose presence means the input
+# already went (or will go) through an exchange — its parallelism is
+# session-sized, AND touching .rdd would make AQE materialize those shuffle
+# stages EAGERLY at plan time, running the upstream DAG twice. Includes the
+# grouped/cogrouped pandas nodes (FlatMapGroupsInPandas & friends sit on
+# top of a hash exchange) and FlatMapGroupsWithState. Spread only narrow
+# scans. Matched against the analyzed plan's Java class simple names via a
+# py4j tree walk — NOT against the rendered plan string, where a column or
+# alias literally named e.g. 'SortKey' would false-positive and silently
+# disable the spread.
+_WIDE_PREFIXES = (
     "Join", "Aggregate", "Window", "Repartition", "Sort",
     "Distinct", "Deduplicate", "Intersect", "Except",
+    "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsWithState", "ApplyInPandasWithState",
+    "MapGroups", "CoGroup", "GlobalLimit",
 )
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    """Walk the ANALYZED logical plan tree (py4j) and report whether any
+    node's Java class simple name starts with a wide-node prefix. Node
+    identity, not string rendering: immune to column/alias/literal text."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name.startswith(_WIDE_PREFIXES):
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -39,8 +63,7 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     again at action time)."""
     if df.isStreaming:  # no static partition plan to inspect; leave as-is
         return df
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(node in plan for node in _WIDE_NODES):
+    if _has_wide_node(df):
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism

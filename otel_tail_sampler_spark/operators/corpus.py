@@ -149,6 +149,14 @@ def doc_rarity(
     vocabulary-bounded, collected once and broadcast as two sorted numpy
     arrays; the scoring pass is shuffle-free Arrow-batched mapInPandas.
     The corpus shuffles only inside the vocabulary-sized histogram count.
+
+    Determinism precondition: the histogram is collected in one eager job
+    and scoring runs in a LATER job over the same ``df`` — the input must
+    be bit-stable across recomputations (a source table updated mid-run,
+    or nondeterministic lineage, can surface tokens absent from the
+    collected vocab). Such tokens are scored as frequency 0 (rare, and
+    min_freq 0 flags the doc) rather than crashing the stage — the same
+    clamped searchsorted probe remap_rare_tokens uses.
     """
     from typing import Iterator
 
@@ -173,7 +181,15 @@ def doc_rarity(
                 a = np.asarray(t, np.int64)
                 n = a.size
                 if n:
-                    f = fr[np.searchsorted(v, a)]  # every token IS in vocab
+                    # clamped probe: a token outside the collected vocab
+                    # (input changed between jobs) scores frequency 0
+                    # instead of indexing past the array
+                    if v.size:
+                        idx = np.searchsorted(v, a)
+                        idx[idx == v.size] = 0
+                        f = np.where(v[idx] == a, fr[idx], 0)
+                    else:
+                        f = np.zeros(n, np.int64)
                     n_tok.append(int(n))
                     # full precision here; callers round with F.round
                     # (HALF_UP, matches DuckDB) — Python round() is

@@ -369,6 +369,16 @@ def ngram_jaccard_pairs(
 # --- train/eval contamination ------------------------------------------------
 
 
+# default train-side document-frequency cap for contamination(): an 8-gram
+# present verbatim in >100 training documents is boilerplate (licenses,
+# navigation chrome, templates) whose join fanout grows as T×E while its
+# containment signal is ~zero — verbatim mass duplication is exact-dedup's
+# job, not decontamination's. Callers chasing exhaustive recall can raise
+# it or pass None (documented as unbounded-fanout: default-config runs at
+# corpus scale must never be).
+DEFAULT_MAX_GRAM_DF = 100
+
+
 def contamination(
     train: DataFrame,
     evals: DataFrame,
@@ -376,7 +386,7 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
 ) -> DataFrame:
     """Decontamination report: per EVAL document, the best-matching train
     document by n-gram CONTAINMENT (|shingles(eval) ∩ shingles(train)| /
@@ -397,6 +407,9 @@ def contamination(
     makes). The cap only prunes the train side; eval shingle counts (the
     containment denominator) are untouched, so capped containment is a
     conservative lower bound with fanout ≤ max_gram_df·|eval grams|.
+    It DEFAULTS ON (``DEFAULT_MAX_GRAM_DF`` = 100): a default-config call
+    at corpus scale must be fanout-bounded; pass ``max_gram_df=None``
+    explicitly to accept unbounded hot-gram fanout on small inputs.
 
     Ties on containment break toward the smallest train_id via a window
     rank over (count DESC, train_id ASC) — pure ordering, no arithmetic
@@ -559,22 +572,42 @@ def trim_dup_spans(
     range [win_start, win_start+window). Masked ranges union per doc and
     the covered positions are deleted. -> (id, tokens trimmed, n_removed).
 
-    Scale shape: the hash stream and ranking reuse dup_token_spans'
-    slim (id, start, 32-hex) stream — token arrays never shuffle. The
-    per-doc mask is a collected list of START offsets (bounded by
-    n_tok/stride), broadcast-joined back, and deletion is ONE JVM filter
-    expression over the token array (position-covered test per element —
-    no posexplode, no Python).
+    Scale shape: the hash stream reuses dup_token_spans' slim (id, start,
+    32-hex) stream — token arrays never shuffle. The first-occurrence
+    election is a map-combinable ``groupBy(_h).agg(min(struct(id, start)),
+    count)`` — NOT a window over the raw hash: a boilerplate span
+    duplicated across millions of documents (the primary input of
+    substring dedup, e.g. a license header) is a hot key, and a
+    ``row_number`` window would serialize all its occurrences through one
+    task with no escape hatch. The groupBy combines partials map-side (one
+    (hash, min, count) row per split reaches the shuffle), and the 1:N
+    equi-join back onto the slim stream is AQE-skew-splittable — both
+    degrade gracefully where a window cannot. An occurrence is masked iff
+    its group count >= min_count and it is not the group's (id, start)
+    minimum (struct ordering == the lexicographic (doc_id, win_start)
+    rank-1 election). The per-doc mask is a collected list of START
+    offsets (bounded by n_tok/stride), joined back, and deletion is ONE
+    JVM filter expression over the token array (position-covered test per
+    element — no posexplode, no Python).
     """
-    from pyspark.sql import Window as W
-
     ex = _window_hashes(tokenized, window, stride, id_col, tok_col)
-    w_first = W.partitionBy("_h").orderBy(F.asc(id_col), F.asc("win_start"))
-    occ = ex.withColumn("_rn", F.row_number().over(w_first)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(W.partitionBy("_h"))
+    groups = (
+        ex.groupBy("_h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("win_start"))).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_h", "_first")
     )
     masked = (
-        occ.filter((F.col("_cnt") >= min_count) & (F.col("_rn") > 1))
+        ex.join(groups, "_h")
+        .filter(
+            ~(
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first.win_start") == F.col("win_start"))
+            )
+        )
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("win_start")).alias("_mask"))
     )

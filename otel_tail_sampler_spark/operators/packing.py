@@ -96,7 +96,15 @@ def pack_sequences(
     """-> (example_id long, tokens array<int>, n_tok int): consecutive
     ``max_len``-token examples of the doc_id-ordered concatenated stream.
     Pass ``n_rows`` (the input row count, if known) to skip the
-    fraction-sizing count scan."""
+    fraction-sizing count scan.
+
+    Determinism precondition: the boundary sample, the per-bucket totals,
+    and the emit pass are three INDEPENDENT jobs over ``df`` — the input
+    must be identical across them (stable source, deterministic lineage).
+    A source mutated mid-run shifts global offsets silently; a bucket that
+    appears only in the emit pass fails fast with a clear error instead.
+    The earlier persist-pinned formulation was immune but kept a second
+    resident copy of the corpus — untenable at 10^12 tokens."""
     from typing import Iterator
 
     import pandas as pd
@@ -136,6 +144,13 @@ def pack_sequences(
             for pid, toks in zip(pdf["_pid"], pdf["_t"]):
                 pid = int(pid)
                 if pid != cur_pid:
+                    if pid not in base_off.value:
+                        raise RuntimeError(
+                            f"pack_sequences: bucket {pid} absent from the "
+                            "offsets pass — the input changed between the "
+                            "totals job and the emit job (see the "
+                            "determinism precondition in the docstring)"
+                        )
                     cur_pid, off = pid, base_off.value[pid]
                 toks = np.asarray(toks, np.int32)
                 pos, n = 0, len(toks)

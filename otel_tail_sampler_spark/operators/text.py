@@ -322,22 +322,38 @@ def hash_tokenize(
     before splitting (normalize -> trim -> split), so tab- or
     multi-space-separated text tokenizes identically in Spark and the
     DuckDB oracle — a bare split-on-\\s+ would emit a leading empty word
-    for leading tabs (Spark trim strips spaces only).
+    for leading tabs (Spark trim strips spaces only). Known edge: Java
+    regex ``\\s`` includes vertical tab (\\x0B); DuckDB/RE2 ``\\s`` does
+    not — text containing \\x0B (absent from the synthetic corpus and
+    vanishingly rare in real text) tokenizes differently across engines.
+
+    NULL text maps to the empty token array (n_tok 0), same as empty
+    text — a bare ``length(norm) == 0`` predicate would evaluate NULL and
+    fall through to the otherwise branch, emitting NULL tokens.
     """
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     w = F.split(norm, " ")
-    toks = F.transform(
-        w,
-        lambda x: F.pmod(
-            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
-            F.lit(int(vocab_size)),
-        ).cast("int"),
+    empty = F.coalesce(F.length(norm) == 0, F.lit(True))
+    toks = F.when(
+        empty, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            w,
+            lambda x: F.pmod(
+                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+                F.lit(int(vocab_size)),
+            ).cast("int"),
+        )
     )
-    toks = F.when(F.length(norm) == 0, F.array().cast("array<int>")).otherwise(toks)
+    # n_tok from the pre-transform words array: size(transform(w)) == size(w)
+    # and Catalyst does not rewrite the former, so deriving n_tok from the
+    # token expression would run the per-word md5 twice (CollapseProject
+    # re-inlines shared subexpressions across chained projections)
+    n_tok = F.when(empty, F.lit(0)).otherwise(F.size(w)).cast("int")
     return docs.select(
         F.col(id_col),
         toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        n_tok.alias("n_tok"),
     )
 
 

@@ -8,14 +8,18 @@ the reference's Redis exported-manifest (SETNX semantics,
 /root/reference/src/sampling/evaluator.rs:358-401), expressed as
 ``applyInPandasWithState`` keyed by the md5 digest.
 
-State shape: ONE tiny row (first_id, dup_count) per DISTINCT digest —
-the streaming analog of the Redis key set, partitioned by digest hash
+State shape: ONE tiny row (first_id) per DISTINCT digest — the
+streaming analog of the Redis key set, partitioned by digest hash
 across executors, and the natural skew-free key (digests are uniform by
 construction). Content never enters the state store; the wide text/token
-columns ride the emitted row only. ``ttl_minutes`` arms a
-processing-time timeout that expires idle digests — the SETEX analog —
-bounding state exactly as the reference bounds Redis memory (an expired
-digest re-admits the next duplicate, the documented TTL trade-off).
+columns ride the emitted row only. Cross-batch duplicate counts are NOT
+maintained: append mode only emits on first arrival, so an accumulated
+counter would be write-only dead state updated on every duplicate
+forever — the emitted ``dup_count`` covers same-batch duplicates only.
+``ttl_minutes`` arms a processing-time timeout that expires idle
+digests — the SETEX analog — bounding state exactly as the reference
+bounds Redis memory (an expired digest re-admits the next duplicate,
+the documented TTL trade-off).
 
 Within one micro-batch, ties break to the MIN id (same representative
 the batch operator elects); across batches, arrival order decides — that
@@ -47,7 +51,7 @@ def dedup_stream(
 
     id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = f"digest string, doc_id {id_type}, dup_count int"
-    state_schema = f"first_id {id_type}, dups int"
+    state_schema = f"first_id {id_type}"
 
     keyed = docs.select(
         F.md5(F.col(text_col)).alias("_digest"),
@@ -64,15 +68,14 @@ def dedup_stream(
             ids.extend(pdf["_id"])
         emit = None
         if state.exists:
-            first_id, dups = state.get
-            state.update((first_id, dups + len(ids)))
+            pass  # duplicate of a known digest: drop; no state churn
         elif ids:
             # same-batch ties -> min id in the column's NATIVE ordering
             # (numeric ids compare numerically, exactly like batch F.min)
             first = min(ids)
             if hasattr(first, "item"):  # numpy scalar -> python for state
                 first = first.item()
-            state.update((first, len(ids) - 1))
+            state.update((first,))
             emit = pd.DataFrame(
                 [{"digest": str(key[0]), "doc_id": first,
                   "dup_count": len(ids) - 1}]

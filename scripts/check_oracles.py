@@ -96,6 +96,23 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def driver_canon_probe(cols: list[str], rows: list[tuple]) -> str | None:
+    """Replicate the DRIVER's canonicalization (pandas.sort_values over all
+    columns) so a query that would ERR in CORRECTNESS_r{N}.json fails HERE
+    first. The driver factorizes each column to sort it; list/dict values
+    raise ``unhashable type`` there — exactly the r3 failure mode this
+    script used to paper over by stringifying values before sorting.
+    Returns an error string if the driver would fail, else None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.sort_values(by=sorted(cols))
+    except Exception as ex:  # the driver records this as err, no comparison
+        return f"driver canonicalization would fail: {type(ex).__name__}: {ex}"
+    return None
+
+
 def main() -> int:
     import __spark_entry__ as E
     from otel_tail_sampler_spark.session import build_session
@@ -125,6 +142,9 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in os_:
+            probe = driver_canon_probe(scols, srows)
+            if probe:
+                print(f"WARN {name}: rows-only, but {probe}")
             print(f"SKIP {name}: rows-only ({len(srows)} rows) "
                   f"[{time.time() - t0:.1f}s]")
             continue
@@ -139,6 +159,9 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        probe = driver_canon_probe(scols, srows)
+        if probe:
+            problems.append(probe)
         tmis = {c: (stypes[c], otypes[c]) for c in stypes
                 if c in otypes and stypes[c] != otypes[c]}
         if tmis:

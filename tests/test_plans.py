@@ -85,6 +85,58 @@ def test_pack_sequences_holds_no_cached_corpus(spark, small_dataset):
     assert "InMemoryRelation" not in plan
 
 
+def test_trim_dup_spans_has_no_window_over_hash(spark):
+    """trim_dup_spans' first-occurrence election must be the map-combinable
+    groupBy(min(struct), count) — a row_number window over the raw span
+    hash serializes every occurrence of a corpus-wide boilerplate span
+    (license header in millions of docs) through ONE task (VERDICT r3 #2).
+    No Window node anywhere in the plan; two-phase partial aggregation on
+    the hash instead."""
+    from otel_tail_sampler_spark.operators.dedup import trim_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, list(range(32))), (2, list(range(32)))],
+        "doc_id long, tokens array<int>",
+    )
+    plan = _explain(trim_dup_spans(df, window=16, stride=8))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_spread_detects_nodes_not_strings(spark, small_dataset):
+    """spread_small_input's wide-plan guard keys on logical-plan NODE
+    identity (ADVICE r3): a column alias literally named 'SortKey' must
+    NOT disable the spread (the old rendered-string match false-positived
+    on it), and a grouped-map pandas plan (sits on a hash exchange) must
+    be detected wide even though 'FlatMapGroupsInPandas' was absent from
+    the old keyword list."""
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.functions.spread import (
+        _has_wide_node,
+        spread_small_input,
+    )
+
+    base = spark.read.parquet(small_dataset["tokenized"])
+    # alias containing a wide-node name: still a narrow plan -> spreads
+    aliased = base.select(F.col("doc_id").alias("SortKey"))
+    assert not _has_wide_node(aliased)
+    spread = spread_small_input(aliased)
+    assert (
+        spread.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # applyInPandas (FlatMapGroupsInPandas) is wide: guard must say so
+    # WITHOUT touching .rdd (which would eagerly run the shuffle under AQE)
+    grouped = base.groupBy("source").applyInPandas(
+        lambda pdf: pdf, schema=base.schema
+    )
+    assert _has_wide_node(grouped)
+    assert spread_small_input(grouped) is grouped
+    # and a genuinely wide classic node still registers
+    assert _has_wide_node(base.groupBy("source").count())
+
+
 def test_scan_prunes_tokens_for_counts(spark, small_dataset):
     """A decision-count query over routed must not read the token column."""
     res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)

@@ -599,7 +599,9 @@ def test_contamination_string_ids_and_hot_gram_cap(spark):
     assert out["e2"]["containment"] == 0.0
     # and the intermediate pair count is bounded by the cap, not by T×E:
     # with the cap lifted the same eval doc matches all 10 train docs
-    uncapped = D.contamination(train, evals, shingle_n=3, threshold=0.5)
+    uncapped = D.contamination(
+        train, evals, shingle_n=3, threshold=0.5, max_gram_df=None
+    )
     n_pairs_uncapped = uncapped.filter(
         (F.col("eval_id") == "e2") & F.col("best_train_id").isNotNull()
     ).count()
@@ -608,6 +610,34 @@ def test_contamination_string_ids_and_hot_gram_cap(spark):
     assert uncapped.filter(F.col("eval_id") == "e2").collect()[0][
         "containment"
     ] > 0.0
+
+
+def test_contamination_default_cap_bounds_fanout(spark):
+    """Default-config contamination must be fanout-bounded (VERDICT r3 #6):
+    a gram present in more than DEFAULT_MAX_GRAM_DF train docs is pruned
+    with NO explicit cap argument — a default call at corpus scale can
+    never hit unbounded hot-gram fanout."""
+    from otel_tail_sampler_spark.operators.dedup import DEFAULT_MAX_GRAM_DF
+
+    assert DEFAULT_MAX_GRAM_DF is not None
+    stop = "all rights reserved by"  # planted boilerplate 4-gram
+    n = DEFAULT_MAX_GRAM_DF + 1
+    train = spark.createDataFrame(
+        [(i, f"{stop} owner{i} suffix{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(1_000_000, f"{stop} nothing else here")],
+        "doc_id long, text string",
+    )
+    out = D.contamination(train, evals, shingle_n=4).collect()
+    assert out[0]["best_train_id"] is None
+    assert out[0]["containment"] == 0.0
+    # one doc under the cap: the same gram at df <= cap still matches
+    under = D.contamination(
+        train.limit(DEFAULT_MAX_GRAM_DF), evals, shingle_n=4
+    ).collect()
+    assert under[0]["containment"] > 0.0
 
 
 def test_hash_tokenize_deterministic_and_composes(spark):
@@ -667,6 +697,38 @@ def test_trim_dup_spans_keeps_first_occurrence(spark):
         D.trim_dup_spans(df, window=16, stride=8), window=16, stride=8
     ).count()
     assert after == 0
+
+
+def test_trim_dup_spans_boilerplate_hot_hash(spark):
+    """The substring-dedup PRIMARY input: one boilerplate span (license
+    header) planted across many docs — a single hot window hash. The
+    groupBy-min election must keep exactly the (min doc_id, min start)
+    occurrence and trim every other doc, with no per-hash window task
+    (plan asserted separately in test_plans.py)."""
+    header = list(range(900, 916))  # 16-token boilerplate
+    rows = [(i, header + [1000 + i] * 8) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {
+        r["doc_id"]: r
+        for r in D.trim_dup_spans(df, window=16, stride=8, min_count=2).collect()
+    }
+    assert out[1]["tokens"] == header + [1001] * 8 and out[1]["n_removed"] == 0
+    for i in range(2, 41):
+        assert out[i]["tokens"] == [1000 + i] * 8, f"doc {i} not trimmed"
+        assert out[i]["n_removed"] == 16
+
+
+def test_hash_tokenize_null_text_is_empty(spark):
+    """NULL text -> empty token array + n_tok 0 (ADVICE r3: a bare
+    length(norm) == 0 predicate is NULL for NULL text and fell through to
+    the otherwise branch, emitting NULL tokens and NULL n_tok)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.hash_tokenize(df, vocab_size=64).collect()}
+    assert out[1]["tokens"] == [] and out[1]["n_tok"] == 0
+    assert out[3]["tokens"] == [] and out[3]["n_tok"] == 0
+    assert len(out[2]["tokens"]) == 2 and out[2]["n_tok"] == 2
 
 
 def test_doc_rarity_hand_computed(spark):
