@@ -1256,6 +1256,87 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+# --- composite rollups (VERDICT r3 #5): several stalwart checks unioned
+# into ONE driver row each, so the 50-entry window can cover the full
+# 74-query surface every round. Each leg is the EXACT output of its
+# standalone query (same builder function — they cannot diverge), tagged
+# and cast onto a shared schema; full row-level fidelity is preserved
+# (no aggregation over the legs' outputs).
+
+
+def q_pipeline_counters_rollup(spark, sf_dir):
+    """sink_counts + rate_limit_overflow + error_short_circuit +
+    force_rules in one (chk, k1, k2, cnt) table."""
+
+    def tag(df, name, c1, c2, cn):
+        return df.select(
+            F.lit(name).alias("chk"),
+            F.col(c1).cast("string").alias("k1"),
+            F.col(c2).cast("string").alias("k2"),
+            F.col(cn).cast("long").alias("cnt"),
+        )
+
+    return (
+        tag(q_sink_counts(spark, sf_dir), "sink_counts",
+            "decision_policy", "decision", "row_count")
+        .unionByName(tag(q_rate_limit_overflow(spark, sf_dir), "rate_limit",
+                         "service_name", "decision", "trace_count"))
+        .unionByName(tag(q_error_short_circuit(spark, sf_dir), "short_circuit",
+                         "decision_policy", "decision", "trace_count"))
+        .unionByName(tag(q_force_rules(spark, sf_dir), "force_rules",
+                         "decision_policy", "decision", "trace_count"))
+    )
+
+
+def q_relational_rollup(spark, sf_dir):
+    """orders_enrich_join + lineitem_semi_join + lineitem_anti_join in one
+    (chk, k, cnt, val) table."""
+
+    def tag(df, name, k, cn, v):
+        return df.select(
+            F.lit(name).alias("chk"),
+            F.col(k).cast("string").alias("k"),
+            F.col(cn).cast("long").alias("cnt"),
+            (F.col(v).cast("double") if v else F.lit(0.0)).alias("val"),
+        )
+
+    return (
+        tag(q_orders_enrich_join(spark, sf_dir), "orders_enrich",
+            "c_nationkey", "order_count", "total_price")
+        .unionByName(tag(q_lineitem_semi_join(spark, sf_dir), "semi",
+                         "l_returnflag", "cnt", "revenue"))
+        .unionByName(tag(q_lineitem_anti_join(spark, sf_dir), "anti",
+                         "l_linestatus", "cnt", None))
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """events_latency_policy + events_topk + events_attr_matchers +
+    events_hash_sampling in one (chk, k1, k2, k3, val) table."""
+
+    def tag(df, name, cols, v):
+        ks = [
+            (F.col(c).cast("string") if c else F.lit("")).alias(f"k{i + 1}")
+            for i, c in enumerate(cols)
+        ]
+        return df.select(
+            F.lit(name).alias("chk"),
+            *ks,
+            (F.col(v).cast("double") if v else F.lit(0.0)).alias("val"),
+        )
+
+    return (
+        tag(q_events_latency_policy(spark, sf_dir), "latency",
+            ["user_id", None, None], "max_value")
+        .unionByName(tag(q_events_topk(spark, sf_dir), "topk",
+                         ["event_id", "user_id", None], "value"))
+        .unionByName(tag(q_events_attr_matchers(spark, sf_dir), "attr",
+                         ["event_id", "user_id", "k_value"], None))
+        .unionByName(tag(q_events_hash_sampling(spark, sf_dir), "hash",
+                         ["event_id", "user_id", "event_type"], None))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness artifact records the
     FIRST 50 entries, so the dict is ordered least-proven-first and the
@@ -1276,6 +1357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "remap_rare_tokens": q_remap_rare_tokens,
         "pack_with_boundaries": q_pack_with_boundaries,
+        # -- NEW composite rollups (several stalwarts per driver row; their
+        #    legs are the standalone builders, so one row attests all) --
+        "pipeline_counters_rollup": q_pipeline_counters_rollup,
+        "relational_rollup": q_relational_rollup,
+        "events_rollup": q_events_rollup,
         # -- stalwarts with NO r3 driver row (r1+r2 green; rotated out of
         #    the r3 window) --
         "policy_decisions": q_policy_decisions,
@@ -1320,11 +1406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
         "exported_dedup_ttl": q_exported_dedup_ttl,
+        # ---- window boundary (exactly 50 above) ----
+        # -- tail: green in the r3 driver artifact; leads the r5 window --
         "trace_readiness": q_trace_readiness,
         "events_session_agg": q_events_session_agg,
         "events_sessionize": q_events_sessionize,
-        # ---- window boundary (exactly 50 above) ----
-        # -- tail: green in the r3 driver artifact; leads the r5 window --
         "dedup_components": q_dedup_components,
         "parse_spans": q_parse_spans,
         "dup_token_spans": q_dup_token_spans,
@@ -1584,7 +1670,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )"""
 
-    return {
+    o = {
         "parse_spans": f"""
             SELECT doc_id, trace_id, span_id, parent_span_id, timestamp_ms,
                    duration_ms, status_code, span_kind, service_name,
@@ -2612,3 +2698,50 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
     }
+
+    # composite rollups: each leg is the LITERAL standalone oracle embedded
+    # as a subquery (DuckDB allows WITH inside a derived table), tagged and
+    # cast onto the shared rollup schema — the composite can never drift
+    # from the standalone checks it compresses.
+    def _leg(name: str, select: str) -> str:
+        return f"SELECT {select} FROM ({o[name]})"
+
+    o["pipeline_counters_rollup"] = "\nUNION ALL\n".join(
+        _leg(n, f"'{tag}' AS chk, {k1}::VARCHAR AS k1, "
+                f"{k2}::VARCHAR AS k2, {cnt}::BIGINT AS cnt")
+        for n, tag, k1, k2, cnt in [
+            ("sink_counts", "sink_counts", "decision_policy", "decision",
+             "row_count"),
+            ("rate_limit_overflow", "rate_limit", "service_name", "decision",
+             "trace_count"),
+            ("error_short_circuit", "short_circuit", "decision_policy",
+             "decision", "trace_count"),
+            ("force_rules", "force_rules", "decision_policy", "decision",
+             "trace_count"),
+        ]
+    )
+    o["relational_rollup"] = "\nUNION ALL\n".join(
+        _leg(n, f"'{tag}' AS chk, {k}::VARCHAR AS k, {cnt}::BIGINT AS cnt, "
+                f"{val}::DOUBLE AS val")
+        for n, tag, k, cnt, val in [
+            ("orders_enrich_join", "orders_enrich", "c_nationkey",
+             "order_count", "total_price"),
+            ("lineitem_semi_join", "semi", "l_returnflag", "cnt", "revenue"),
+            ("lineitem_anti_join", "anti", "l_linestatus", "cnt", "0.0"),
+        ]
+    )
+    o["events_rollup"] = "\nUNION ALL\n".join(
+        _leg(n, f"'{tag}' AS chk, {k1}::VARCHAR AS k1, {k2} AS k2, "
+                f"{k3} AS k3, {val}::DOUBLE AS val")
+        for n, tag, k1, k2, k3, val in [
+            ("events_latency_policy", "latency", "user_id", "''", "''",
+             "max_value"),
+            ("events_topk", "topk", "event_id", "user_id::VARCHAR", "''",
+             "value"),
+            ("events_attr_matchers", "attr", "event_id", "user_id::VARCHAR",
+             "k_value::VARCHAR", "0.0"),
+            ("events_hash_sampling", "hash", "event_id", "user_id::VARCHAR",
+             "event_type::VARCHAR", "0.0"),
+        ]
+    )
+    return o

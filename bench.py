@@ -83,22 +83,30 @@ def main() -> None:
     # one (the first big action pays one-time JVM heap-growth/page-fault cost
     # in this sandbox; steady-state throughput is the metric)
     paths = ensure_dataset(sf)
-    t, n_spans = _pipeline_spans_per_sec(spark, paths["tokenized"])
     # min of 7: the uniform headline is a ~2s job on a +/-50%-variance host
     # (whole multi-minute windows run 2x slow — observed min-of-5 at 4.3s
-    # vs 1.95s an hour apart on identical code), so spread more draws
-    for _ in range(6):
-        t = min(t, _pipeline_spans_per_sec(spark, paths["tokenized"])[0])
+    # vs 1.95s an hour apart on identical code), so spread more draws.
+    # ALL draws land in the artifact (detail.uniform_draws) so host variance
+    # is visible in the record, not asserted in prose (VERDICT r3 #3).
+    uniform_draws: list[float] = []
+    n_spans = 0
+    for _ in range(7):
+        d, n_spans = _pipeline_spans_per_sec(spark, paths["tokenized"])
+        uniform_draws.append(round(d, 3))
+    t = min(uniform_draws)
     queries["pipeline_uniform"] = round(t, 3)
     uniform_rate = n_spans / t
 
     # headline: skewed pipeline (heavy-hitter traces) at bench scale
     skew_paths = ensure_dataset("bench0.1")
-    t_skew, n_skew = _pipeline_spans_per_sec(spark, skew_paths["tokenized"])
     # min of 4: observed first-draw 12.1s vs steady-state 4.0s on identical
     # code in a slow host window — 3 draws under-sampled the fast state
-    for _ in range(3):
-        t_skew = min(t_skew, _pipeline_spans_per_sec(spark, skew_paths["tokenized"])[0])
+    skewed_draws: list[float] = []
+    n_skew = 0
+    for _ in range(4):
+        d, n_skew = _pipeline_spans_per_sec(spark, skew_paths["tokenized"])
+        skewed_draws.append(round(d, 3))
+    t_skew = min(skewed_draws)
     queries["pipeline_skewed"] = round(t_skew, 3)
     skew_rate = n_skew / t_skew
 
@@ -158,6 +166,66 @@ def main() -> None:
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
 
+    # streaming paths (VERDICT r3 #8): bounded Trigger.AvailableNow runs —
+    # wall time includes stream startup + checkpoint io, so these are not
+    # comparable to the batch numbers; they exist so the two stateful
+    # streaming operators carry perf evidence at all. min-of-2 (each run
+    # needs a fresh checkpoint dir, so runs are slower to repeat).
+    import shutil
+    import tempfile
+
+    from otel_tail_sampler_spark.streaming.dedup_stream import dedup_stream
+    from otel_tail_sampler_spark.streaming.stream_job import (
+        run_streaming_pipeline,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    dschema = spark.read.parquet(docs_path).schema
+    n_docs = spark.read.parquet(docs_path).count()
+    # the file stream source wants a DIRECTORY; stage the single test file
+    src_dir = tempfile.mkdtemp(prefix="bench_dedup_src_")
+    shutil.copy(docs_path, os.path.join(src_dir, "documents.parquet"))
+    best = float("inf")
+    for _ in range(2):
+        ckpt = tempfile.mkdtemp(prefix="bench_dedup_stream_")
+        src = spark.readStream.schema(dschema).parquet(src_dir)
+        t0 = time.time()
+        q = (
+            dedup_stream(src)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    queries["streaming_dedup"] = round(best, 3)
+    n_stream_docs = n_docs
+
+    # both assembly strategies, same bounded input: 'session_window' is the
+    # Spark-native scale path (JVM incremental session agg); 'state' mirrors
+    # the reference's per-trace TraceState in Python and is expected ~4x
+    # slower — the contrast IS the result being recorded
+    for strat in ("session_window", "state"):
+        best = float("inf")
+        for _ in range(2):
+            out_dir = tempfile.mkdtemp(prefix=f"bench_stream_{strat}_")
+            t0 = time.time()
+            run_streaming_pipeline(
+                spark,
+                paths["tokenized"],
+                out_dir,
+                E.ENTRY_CFG,
+                strategy=strat,
+                max_files_per_trigger=8,
+            )
+            best = min(best, time.time() - t0)
+            shutil.rmtree(out_dir, ignore_errors=True)
+        queries[f"streaming_assembly_{strat}"] = round(best, 3)
+
     out = {
         "metric": "spans/sec decision+route throughput (uniform sf, single JVM)",
         "value": round(uniform_rate, 1),
@@ -167,9 +235,12 @@ def main() -> None:
         "detail": {
             "uniform_spans": n_spans,
             "uniform_sec": round(t, 3),
+            "uniform_draws": uniform_draws,
             "skewed_spans": n_skew,
             "skewed_sec": round(t_skew, 3),
+            "skewed_draws": skewed_draws,
             "skewed_spans_per_sec": round(skew_rate, 1),
+            "streaming_dedup_docs": n_stream_docs,
             "cpus": cpus,
         },
     }

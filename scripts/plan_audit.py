@@ -178,6 +178,21 @@ def main() -> None:
         ),
     )
 
+    section(
+        "Token-window dup TRIM",
+        "What to check: NO Window node anywhere — the first-occurrence\n"
+        "election is groupBy(_h).agg(min(struct(id, start)), count), a\n"
+        "partial/final HashAggregate pair that combines map-side, so a\n"
+        "boilerplate span duplicated across millions of docs never\n"
+        "serializes through one window task; the join back onto the slim\n"
+        "(id, start, hash) stream is an AQE-splittable equi-join; token\n"
+        "arrays only appear in the final per-doc mask filter.",
+        D.trim_dup_spans(
+            spark.read.parquet(paths["tokenized"]).repartition(8),
+            window=16, stride=8,
+        ),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
