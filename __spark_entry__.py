@@ -487,6 +487,17 @@ def q_span_service_stats(spark, sf_dir):
     return s.withColumn("avg_duration_ms", F.round("avg_duration_ms", 4))
 
 
+def q_service_percentiles(spark, sf_dir):
+    """T-tier extension: per-service latency percentiles (p50/p95/p99),
+    EXACT (linear interpolation == DuckDB quantile_cont); the approx
+    sketch variant is the documented 100 TB path."""
+    from otel_tail_sampler_spark.plans.analytics import (
+        service_latency_percentiles,
+    )
+
+    return service_latency_percentiles(_parsed(spark, sf_dir))
+
+
 def q_span_compression(spark, sf_dir):
     """A3+A4: compression groups over parsed spans (operation_name as the
     statement source; >=3 similar spans per (trace, svc, op))."""
@@ -1362,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_counters_rollup": q_pipeline_counters_rollup,
         "relational_rollup": q_relational_rollup,
         "events_rollup": q_events_rollup,
+        "service_percentiles": q_service_percentiles,
         # -- stalwarts with NO r3 driver row (r1+r2 green; rotated out of
         #    the r3 window) --
         "policy_decisions": q_policy_decisions,
@@ -1405,9 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_service_stats": q_span_service_stats,
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
-        "exported_dedup_ttl": q_exported_dedup_ttl,
         # ---- window boundary (exactly 50 above) ----
         # -- tail: green in the r3 driver artifact; leads the r5 window --
+        "exported_dedup_ttl": q_exported_dedup_ttl,
         "trace_readiness": q_trace_readiness,
         "events_session_agg": q_events_session_agg,
         "events_sessionize": q_events_sessionize,
@@ -1897,6 +1909,13 @@ def oracle_sql() -> dict[str, str]:
                    max(duration_ms) AS max_duration_ms,
                    sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)::BIGINT AS error_count
             FROM '{sp}' GROUP BY 1 ORDER BY span_count DESC, service_name ASC
+        """,
+        "service_percentiles": f"""
+            SELECT service_name, count(*) AS span_count,
+                   round(quantile_cont(duration_ms, 0.5), 4) AS p50,
+                   round(quantile_cont(duration_ms, 0.95), 4) AS p95,
+                   round(quantile_cont(duration_ms, 0.99), 4) AS p99
+            FROM '{sp}' GROUP BY 1 ORDER BY 1
         """,
         "span_compression": f"""
             WITH keyed AS (

@@ -68,6 +68,52 @@ def service_stats_approx(spans: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def service_latency_percentiles(
+    spans: DataFrame, ps: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Per-service latency percentiles of span duration — the SLO numbers
+    the reference's README/deployment docs state as targets (p99 < 10ms,
+    README.md:446) computed over the lake instead of asserted. EXACT
+    percentile (sort-based, linear interpolation — bit-identical to
+    DuckDB's quantile_cont, so oracle-checkable). At 10^12 spans exact
+    per-group percentile buffers each group's values; the scale variant is
+    ``service_latency_percentiles_approx`` below (fixed-size sketch,
+    map-side combinable), same shape as the exact/approx split
+    service_stats already makes.
+    """
+    aggs = [
+        F.round(F.expr(f"percentile(duration_ms, {p})"), 4).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in ps
+    ]
+    return (
+        spans.groupBy("service_name")
+        .agg(F.count(F.lit(1)).alias("span_count"), *aggs)
+        .orderBy("service_name")
+    )
+
+
+def service_latency_percentiles_approx(
+    spans: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB variant: percentile_approx (Greenwald-Khanna sketch,
+    bounded memory, partial-aggregable map-side) — rank error <=
+    1/accuracy. Not oracle-checkable (sketch internals differ per engine);
+    the exact twin above is the correctness reference."""
+    aggs = [
+        F.percentile_approx("duration_ms", p, accuracy).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return (
+        spans.groupBy("service_name")
+        .agg(F.count(F.lit(1)).alias("span_count"), *aggs)
+        .orderBy("service_name")
+    )
+
+
 def register_views(spark: SparkSession, spans: DataFrame, traces: DataFrame | None = None) -> None:
     """S6: expose the lake tables to ad-hoc spark.sql (iceberg.rs:133-150)."""
     spans.createOrReplaceTempView("spans")

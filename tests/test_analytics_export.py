@@ -57,6 +57,68 @@ def test_service_stats_exact_vs_approx(spans):
         assert abs(approx[svc] - n) <= max(3, 0.1 * n)
 
 
+def test_service_percentiles_exact_and_approx(spans):
+    """Exact percentile interpolates like a hand-computed reference; the
+    approx sketch lands within its documented rank error of the exact."""
+    from otel_tail_sampler_spark.plans.analytics import (
+        service_latency_percentiles,
+        service_latency_percentiles_approx,
+    )
+
+    exact = {
+        r["service_name"]: r for r in service_latency_percentiles(spans).collect()
+    }
+    # hand-computed p50 for one service (numpy uses the same linear scheme)
+    import numpy as np
+
+    svc = next(iter(exact))
+    durs = np.array(
+        [
+            r["duration_ms"]
+            for r in spans.filter(F.col("service_name") == svc)
+            .select("duration_ms")
+            .collect()
+        ]
+    )
+    assert exact[svc]["p50"] == pytest.approx(
+        round(float(np.percentile(durs, 50)), 4), abs=1e-9
+    )
+    assert exact[svc]["p95"] == pytest.approx(
+        round(float(np.percentile(durs, 95)), 4), abs=1e-9
+    )
+    approx = {
+        r["service_name"]: r
+        for r in service_latency_percentiles_approx(spans, accuracy=1000).collect()
+    }
+    # the sketch's contract is RANK error <= 1/accuracy — duration is
+    # heavy-tailed, so a VALUE bound would be meaningless at p99; assert
+    # the approx value sits within the exact order statistics at ranks
+    # (p +/- 1/accuracy) per service
+    eps = 1.0 / 1000
+    by_svc = {
+        s: np.sort(
+            np.array(
+                [
+                    r["duration_ms"]
+                    for r in spans.filter(F.col("service_name") == s)
+                    .select("duration_ms")
+                    .collect()
+                ]
+            )
+        )
+        for s in exact
+    }
+    for s, e in exact.items():
+        a = approx[s]
+        assert a["span_count"] == e["span_count"]
+        d = by_svc[s]
+        n = len(d)
+        for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+            lo = d[max(0, int(np.floor((p - eps) * (n - 1))))]
+            hi = d[min(n - 1, int(np.ceil((p + eps) * (n - 1))))]
+            assert lo <= a[col] <= hi, (s, col, a[col], lo, hi)
+
+
 def test_sql_facade(spark, spans, traces):
     register_views(spark, spans, traces)
     out = query_sql(
