@@ -1144,6 +1144,44 @@ def q_pack_with_boundaries(spark, sf_dir):
 
 MIX_RATES = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(20)}
 
+# upsampling weights: exact binary quarters (0..2.75) so the fractional
+# part compares bit-identically in both engines; src0 weight 0 -> dropped
+UP_RATES = {f"src{i}": (i % 12) * 0.25 for i in range(20)}
+
+
+def q_build_vocab(spark, sf_dir):
+    """Learned-vocab build: top-1000 tokens by (freq DESC, token ASC) with
+    dense rank ids — the counted-vocabulary counterpart to hash_tokenize."""
+    from otel_tail_sampler_spark.operators.corpus import build_vocab
+
+    tok = _dataset(sf_dir)["tokenized"]
+    return build_vocab(spark.read.parquet(tok), vocab_size=1000)
+
+
+def q_encode_with_vocab(spark, sf_dir):
+    """Corpus re-encoded onto the built vocab's dense ids (OOV -> -1);
+    token arrays md5-stringified for the driver-sortable schema."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    vocab = build_vocab(tok, vocab_size=1000)
+    return encode_with_vocab(tok, vocab).select(
+        "doc_id", _tokens_md5().alias("tokens_md5"), "n_unk"
+    )
+
+
+def q_mixture_upsample(spark, sf_dir):
+    """Epochs-per-source upsampling: floor(w) copies + md5-consistent
+    fractional extra; (doc_id, copy) is the emitted identity."""
+    from otel_tail_sampler_spark.operators.corpus import mixture_upsample
+
+    return mixture_upsample(_docs(spark, sf_dir), UP_RATES).select(
+        "doc_id", "source", "copy"
+    )
+
 
 def q_vocab_histogram(spark, sf_dir):
     """Unigram token histogram over the tokenized table (vocab stats)."""
@@ -1374,6 +1412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_rollup": q_relational_rollup,
         "events_rollup": q_events_rollup,
         "service_percentiles": q_service_percentiles,
+        "build_vocab": q_build_vocab,
+        "encode_with_vocab": q_encode_with_vocab,
+        "mixture_upsample": q_mixture_upsample,
         # -- stalwarts with NO r3 driver row (r1+r2 green; rotated out of
         #    the r3 window) --
         "policy_decisions": q_policy_decisions,
@@ -1414,11 +1455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_type": q_operation_type,
         "resource_attrs": q_resource_attrs,
         "error_traces_recent": q_error_traces_recent,
+        # ---- window boundary (exactly 50 above) ----
+        # -- tail: green in the r3 driver artifact; leads the r5 window --
         "span_service_stats": q_span_service_stats,
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
-        # ---- window boundary (exactly 50 above) ----
-        # -- tail: green in the r3 driver artifact; leads the r5 window --
         "exported_dedup_ttl": q_exported_dedup_ttl,
         "trace_readiness": q_trace_readiness,
         "events_session_agg": q_events_session_agg,
@@ -2579,6 +2620,79 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS t
                   FROM parquet_scan('{paths["tokenized"]}/*.parquet'))
             GROUP BY 1
+        """,
+        "build_vocab": f"""
+            WITH f AS (
+              SELECT t AS token, count(*)::BIGINT AS freq
+              FROM (SELECT unnest(tokens) AS t
+                    FROM parquet_scan('{paths["tokenized"]}/*.parquet'))
+              GROUP BY 1
+            ),
+            r AS (
+              SELECT token, freq,
+                     (row_number() OVER (ORDER BY freq DESC, token ASC) - 1)::INT
+                       AS rank_id
+              FROM f
+            )
+            SELECT token, freq, rank_id FROM r WHERE rank_id < 1000
+        """,
+        "encode_with_vocab": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            f AS (
+              SELECT t AS token, count(*) AS freq
+              FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1
+            ),
+            r AS (
+              SELECT token,
+                     (row_number() OVER (ORDER BY freq DESC, token ASC) - 1)
+                       AS rank_id
+              FROM f
+            ),
+            v AS (SELECT token, rank_id FROM r WHERE rank_id < 1000),
+            ex AS (
+              SELECT doc_id, unnest(tokens) AS t,
+                     unnest(range(1, len(tokens) + 1)) AS pos
+              FROM tok
+            ),
+            m AS (
+              SELECT ex.doc_id, ex.pos,
+                     coalesce(v.rank_id, -1)::INT AS val,
+                     (v.token IS NULL)::INT AS u
+              FROM ex LEFT JOIN v ON ex.t = v.token
+            ),
+            rb AS (
+              SELECT doc_id, list(val ORDER BY pos) AS toks,
+                     sum(u)::INT AS n_unk
+              FROM m GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(array_to_string(rb.toks, ','), '')) AS tokens_md5,
+                   coalesce(rb.n_unk, 0)::INT AS n_unk
+            FROM tok t LEFT JOIN rb USING (doc_id)
+        """,
+        "mixture_upsample": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE
+            """
+        + "\n".join(
+            f"WHEN source = 'src{i}' THEN {(i % 12) * 0.25}" for i in range(20)
+        )
+        + f"""
+                     ELSE 0.0 END AS wt
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source,
+                     (floor(wt) + CASE WHEN
+                        {_hfrac_sql("doc_id::VARCHAR", "mixture")} < wt - floor(wt)
+                      THEN 1 ELSE 0 END)::INT AS n
+              FROM w
+            )
+            SELECT doc_id, source, unnest(range(0, n))::INT AS copy
+            FROM c WHERE n > 0
         """,
         "mixture_sample": "SELECT doc_id, lang, source FROM documents WHERE "
         + _hfrac_sql("doc_id::VARCHAR", "mixture")

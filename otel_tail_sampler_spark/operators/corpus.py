@@ -126,6 +126,135 @@ def remap_rare_tokens(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Learned-vocabulary build: the ``vocab_size`` most frequent tokens,
+    assigned DENSE ranked ids 0..vocab_size-1 by (freq DESC, token ASC) —
+    the deterministic tie-break makes the table identical across engines,
+    partitionings, and reruns. -> (token, freq, rank_id).
+
+    This is the counted-vocabulary counterpart to text.hash_tokenize's
+    hashing trick: hash ids need no artifact but collide; ranked ids give
+    the dense [0, V) space a trained embedding table wants. Feed the
+    result to ``encode_with_vocab`` to remap a corpus onto it.
+
+    Scale shape: the heavy lifting is vocab_histogram's two-phase count
+    (shuffle carries distinct types, not the corpus). The rank window runs
+    over the VOCABULARY — top-k truncated, driver-bounded by construction
+    — with a single-partition window being acceptable exactly because its
+    input is capped at vocab_size rows (a window over the corpus would
+    not be).
+    """
+    from pyspark.sql import Window
+
+    hist = vocab_histogram(df, tok_col=tok_col)
+    top = hist.orderBy(F.desc("freq"), F.asc("token")).limit(int(vocab_size))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.withColumn(
+        "rank_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = -1,
+    tok_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remap token arrays onto a built vocabulary's dense rank ids
+    (tokens absent from the vocab -> ``unk_id``).
+    -> (id, tokens remapped, n_unk).
+
+    Scale shape: identical to remap_rare_tokens — the vocab table
+    (token -> rank_id) is vocabulary-bounded, collected once, broadcast as
+    two sorted numpy arrays, and the remap is one shuffle-free
+    Arrow-batched mapInPandas with a clamped searchsorted probe. The
+    corpus never shuffles. Same determinism precondition as doc_rarity:
+    the vocab is collected eagerly, the remap runs in a later job.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    vpdf = vocab.select("token", "rank_id").toPandas()
+    toks = vpdf["token"].to_numpy(np.int64)
+    order = np.argsort(toks)
+    vtok = toks[order]
+    vid = vpdf["rank_id"].to_numpy(np.int32)[order]
+    b = df.sparkSession.sparkContext.broadcast((vtok, vid))
+    unk = int(unk_id)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        vt, vi = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks_out, n_unk = [], []
+            for t in pdf[tok_col]:
+                a = np.asarray(t, np.int64)
+                if a.size and vt.size:
+                    idx = np.searchsorted(vt, a)
+                    idx[idx == vt.size] = 0
+                    hit = vt[idx] == a
+                    out = np.where(hit, vi[idx], unk).astype(np.int32)
+                    miss = a.size - int(hit.sum())
+                else:
+                    out = np.full(a.size, unk, np.int32)
+                    miss = int(a.size)
+                toks_out.append(out)
+                n_unk.append(miss)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], tok_col: toks_out, "n_unk": n_unk}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+        fn, f"{id_col} {id_type}, {tok_col} array<int>, n_unk int"
+    )
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mixture",
+) -> DataFrame:
+    """Deterministic domain mixing with weights ABOVE 1: emit
+    floor(w) copies of every doc plus one more iff
+    md5-fraction(doc_id | seed) < frac(w) — the standard "epochs per
+    source" upsampling a pre-training mixture needs (a 2.5-weighted
+    source contributes each doc 2 times plus a consistent extra half).
+    Weights < 1 degrade to exactly mixture_sample's keep rule; unlisted
+    sources drop. -> input columns + ``copy`` (0-based copy index).
+
+    Scale shape: scan-time explode of a sequence literal — no shuffle,
+    no Python; the md5 fraction is the same consistent-sampling family as
+    every other gate, so raising a weight only ADDS copies and reruns are
+    identical. The copy index keeps downstream shuffles (packing, shard
+    assignment) deterministic — two copies of a doc are distinct rows
+    with distinct (id, copy) identity.
+    """
+    pairs: list[Column] = []
+    for s, w in weights.items():
+        pairs += [F.lit(s), F.lit(float(w))]
+    w = F.coalesce(F.create_map(*pairs)[F.col(source_col)], F.lit(0.0))
+    frac_keep = hash_frac(F.col(id_col).cast("string"), seed) < (
+        w - F.floor(w)
+    )
+    n_copies = (F.floor(w) + frac_keep.cast("long")).cast("int")
+    return docs.withColumn("_n_copies", n_copies).filter(
+        F.col("_n_copies") > 0
+    ).withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+    ).drop("_n_copies")
+
+
 def doc_rarity(
     df: DataFrame,
     rare_threshold: int = 2,

@@ -83,7 +83,7 @@ def service_latency_percentiles(
     """
     aggs = [
         F.round(F.expr(f"percentile(duration_ms, {p})"), 4).alias(
-            f"p{int(p * 100)}"
+            f"p{round(p * 100)}"
         )
         for p in ps
     ]
@@ -104,7 +104,7 @@ def service_latency_percentiles_approx(
     1/accuracy. Not oracle-checkable (sketch internals differ per engine);
     the exact twin above is the correctness reference."""
     aggs = [
-        F.percentile_approx("duration_ms", p, accuracy).alias(f"p{int(p * 100)}")
+        F.percentile_approx("duration_ms", p, accuracy).alias(f"p{round(p * 100)}")
         for p in ps
     ]
     return (

@@ -731,6 +731,62 @@ def test_hash_tokenize_null_text_is_empty(spark):
     assert len(out[2]["tokens"]) == 2 and out[2]["n_tok"] == 2
 
 
+def test_build_vocab_and_encode_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 5, 5, 7, 7, 9]), (2, [7, 11])],
+        "doc_id long, tokens array<int>",
+    )
+    # freqs: 5->3, 7->3, 9->1, 11->1; rank by (freq DESC, token ASC)
+    v = {
+        r["token"]: (r["freq"], r["rank_id"])
+        for r in build_vocab(df, vocab_size=3).collect()
+    }
+    assert v == {5: (3, 0), 7: (3, 1), 9: (1, 2)}
+    out = {
+        r["doc_id"]: r
+        for r in encode_with_vocab(df, build_vocab(df, vocab_size=3)).collect()
+    }
+    assert out[1]["tokens"] == [0, 0, 0, 1, 1, 2] and out[1]["n_unk"] == 0
+    assert out[2]["tokens"] == [1, -1] and out[2]["n_unk"] == 1
+
+
+def test_mixture_upsample_copy_counts(spark):
+    from otel_tail_sampler_spark.operators.corpus import (
+        mixture_sample,
+        mixture_upsample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(200)], "doc_id long, source string"
+    )
+    # fractional weight: floor(w)=2 copies always, extra iff hash frac < .5
+    counts = [
+        r["count"]
+        for r in mixture_upsample(docs, {"a": 2.5})
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    ]
+    assert len(counts) == 200 and set(counts) <= {2, 3}
+    frac3 = sum(1 for c in counts if c == 3) / 200
+    assert 0.3 < frac3 < 0.7
+    # integer weight: exactly w copies, dense 0-based copy index
+    out2 = mixture_upsample(docs, {"a": 2.0})
+    assert out2.count() == 400
+    assert out2.filter(F.col("copy") >= 2).count() == 0
+    # weight < 1 degrades to mixture_sample's exact keep set
+    a = {r["doc_id"] for r in mixture_upsample(docs, {"a": 0.5}).collect()}
+    b = {r["doc_id"] for r in mixture_sample(docs, {"a": 0.5}).collect()}
+    assert a == b
+    # unlisted source drops
+    assert mixture_upsample(docs, {"other": 3.0}).count() == 0
+
+
 def test_doc_rarity_hand_computed(spark):
     from otel_tail_sampler_spark.operators.corpus import doc_rarity
 
