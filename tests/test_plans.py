@@ -72,6 +72,21 @@ def test_remap_rare_tokens_is_shuffle_free(spark, small_dataset):
     assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
 
 
+def test_encode_with_vocab_is_shuffle_free(spark, small_dataset):
+    """Vocab re-encoding must not shuffle the corpus: like
+    remap_rare_tokens, the vocab is broadcast and the remap is one Arrow
+    stage over the scan (the vocab-build job runs separately)."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    plan = _explain(encode_with_vocab(df, build_vocab(df, vocab_size=500)))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_pack_sequences_holds_no_cached_corpus(spark, small_dataset):
     """Packing must not pin a second resident copy of the corpus: global
     offsets come from deterministic hash-sampled bucket boundaries, so the
