@@ -9,8 +9,11 @@ FIXTURES.md §7) plus the training-data operator suite over documents /
 embeddings.
 
 Engine-parity rules used throughout: md5-derived hash fractions (identical in
-Spark and DuckDB), array columns stringified via sorted join, floats rounded
-explicitly, timestamps cast to epoch ms.
+Spark and DuckDB); ARRAY-VALUED OUTPUT COLUMNS are never returned raw — they
+project through _tokens_md5 (md5 of the comma-joined elements; DuckDB twin
+md5(coalesce(array_to_string(...), ''))) because the driver's canonicalizer
+sorts rows with pandas and cannot sort list values; floats rounded
+explicitly; timestamps cast to epoch ms.
 """
 
 from __future__ import annotations
