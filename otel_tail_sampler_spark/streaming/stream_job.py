@@ -46,6 +46,23 @@ def read_tokenized_stream(
     return reader.parquet(path)
 
 
+def decode_kafka_value(raw: DataFrame) -> DataFrame:
+    """Map a Kafka-shaped frame (binary ``value`` column, the JSON-encoded
+    tokenized row — consumer.rs:136-193's payload) onto the same schema the
+    file source yields, so everything downstream is source-agnostic. Split
+    out from ``read_kafka_stream`` so the decode logic is unit-testable on
+    a batch DataFrame with the Kafka wire columns even where the
+    spark-sql-kafka package is absent (tests/test_streaming.py); malformed
+    JSON decodes to all-NULL fields, which the parser's malformed sink
+    then routes, mirroring the reference's skip-on-decode-error."""
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        ).alias("r")
+    ).select("r.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -53,11 +70,10 @@ def read_kafka_stream(
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Kafka source branch (S1 proper; /root/reference/src/kafka/consumer.rs
-    :136-193). The message value is the JSON-encoded tokenized row; this maps
-    it to the same schema the file source yields, so everything downstream is
-    source-agnostic. Requires the spark-sql-kafka package on the classpath
-    (absent in this sandbox — the file source is the tested stand-in; this
-    branch is exercised on real deployments via
+    :136-193). Requires the spark-sql-kafka package on the classpath
+    (absent in this sandbox — the file source is the tested stand-in and
+    ``decode_kafka_value`` carries the tested mapping; this branch is
+    exercised on real deployments via
     --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)."""
     raw = (
         spark.readStream.format("kafka")
@@ -66,12 +82,7 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            "doc_id string, tokens array<int>, n_tok int, source string",
-        ).alias("r")
-    ).select("r.*")
+    return decode_kafka_value(raw)
 
 
 def assemble_sessions(

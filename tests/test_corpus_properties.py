@@ -88,3 +88,35 @@ def test_trim_dup_spans_matches_reference(spark, corpus, window, stride):
     }
     want = _ref_trim(corpus, window, stride, 2)
     assert got == {i: w for i, w in enumerate(want)}
+
+
+def _ref_encode(docs: list[list[int]], vocab_size: int, unk: int):
+    freq = Counter(t for d in docs for t in d)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    rank = {t: i for i, (t, _) in enumerate(ranked)}
+    out = []
+    for d in docs:
+        enc = [rank.get(t, unk) for t in d]
+        out.append((enc, sum(1 for t in d if t not in rank)))
+    return out
+
+
+@pytest.mark.slow
+@given(CORPUS, st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None)
+def test_build_vocab_encode_matches_reference(spark, corpus, vocab_size):
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id long, tokens array<int>"
+    )
+    vocab = build_vocab(df, vocab_size=vocab_size)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_unk"])
+        for r in encode_with_vocab(df, vocab, unk_id=-1).collect()
+    }
+    want = _ref_encode(corpus, vocab_size, -1)
+    assert got == {i: w for i, w in enumerate(want)}

@@ -248,3 +248,49 @@ def test_dedup_stream_first_wins_across_batches(spark, tmp_path_factory):
     assert sorted(out["doc_id"]) == [2, 3, 7]
     a = out[out["doc_id"] == 2].iloc[0]
     assert a["dup_count"] == 1
+
+
+def test_kafka_value_decode_matches_file_source_schema(spark, small_dataset):
+    """The Kafka branch's value decode (classpath-gated at the source level)
+    is exercised on a batch frame shaped like Kafka's wire schema: JSON
+    values map onto the file-source schema field-for-field, flow through
+    the SAME parser, and a malformed payload decodes to NULLs that the
+    parser routes to the malformed sink — consumer.rs:136-193's
+    skip-on-decode-error."""
+    import json
+
+    from otel_tail_sampler_spark.operators.parser import parse_spans
+    from otel_tail_sampler_spark.streaming.stream_job import decode_kafka_value
+
+    rows = spark.read.parquet(small_dataset["tokenized"]).limit(5).collect()
+    payloads = [
+        json.dumps(
+            {
+                "doc_id": r["doc_id"],
+                "tokens": list(r["tokens"]),
+                "n_tok": r["n_tok"],
+                "source": r["source"],
+            }
+        ).encode()
+        for r in rows
+    ] + [b"{not json"]
+    wire = spark.createDataFrame(
+        [
+            (b"k", v, "spans", 0, i, None)
+            for i, v in enumerate(payloads)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    decoded = decode_kafka_value(wire)
+    assert decoded.columns == ["doc_id", "tokens", "n_tok", "source"]
+    good = {r["doc_id"]: r for r in decoded.filter("doc_id IS NOT NULL").collect()}
+    assert len(good) == 5
+    for r in rows:
+        assert list(good[r["doc_id"]]["tokens"]) == list(r["tokens"])
+    # the malformed payload survives as an all-NULL row...
+    assert decoded.filter("doc_id IS NULL").count() == 1
+    # ...and the shared parser routes it to the malformed sink
+    parsed = parse_spans(decoded, keep_tokens=False)
+    assert parsed.filter("NOT parse_ok").count() == 1
+    assert parsed.filter("parse_ok").count() == 5
