@@ -98,16 +98,29 @@ def pack_sequences(
     Pass ``n_rows`` (the input row count, if known) to skip the
     fraction-sizing count scan.
 
+    Pure-JVM formulation: global offsets come from a window cumsum
+    PARTITIONED BY the deterministic range bucket (bucket-sized partitions
+    — never the single-task global window the module docstring warns
+    about) plus driver-prefix-summed per-bucket base offsets; each
+    document then explodes into its <= n_tok/max_len + 1 (doc x example)
+    intersections with `slice` arithmetic — every expression whole-stage-
+    codegen-friendly, no Python stage. An earlier formulation computed
+    the same pieces in an Arrow-batched mapInPandas stage; profiling on
+    the 600M-token scaling protocol showed the JVM<->Python Arrow
+    round-trip of the whole corpus (~2x corpus bytes over local sockets,
+    per-worker buffer churn) was both the dominant cost and the part that
+    scaled WORST with cores (1->4 efficiency 0.58 vs 0.90 for a pure-JVM
+    movement control on the same input) — cutting pieces with JVM slice
+    expressions removes that transfer entirely.
+
     Determinism precondition: the boundary sample, the per-bucket totals,
-    and the emit pass are three INDEPENDENT jobs over ``df`` — the input
+    and the piece pass are three INDEPENDENT jobs over ``df`` — the input
     must be identical across them (stable source, deterministic lineage).
     A source mutated mid-run shifts global offsets silently; a bucket that
-    appears only in the emit pass fails fast with a clear error instead.
+    appears only in the piece pass fails fast (raise_error) instead.
     The earlier persist-pinned formulation was immune but kept a second
     resident copy of the corpus — untenable at 10^12 tokens."""
-    from typing import Iterator
-
-    import pandas as pd
+    from pyspark.sql import Window
 
     spark = df.sparkSession
     if n_buckets is None:
@@ -118,8 +131,8 @@ def pack_sequences(
         F.col(tok_col).alias("_t"),
         _bucket_of(F.col(id_col), bounds).alias("_pid"),
     )
-    # pass 1: one tiny row per bucket -> driver prefix sum -> broadcast.
-    # _pid is a pure function of the id, so this pass and the emit pass
+    # pass 1: one tiny row per bucket -> driver prefix sum -> map literal.
+    # _pid is a pure function of the id, so this pass and the piece pass
     # agree no matter how either one is partitioned or recomputed.
     totals = {
         r["_pid"]: r["_n"]
@@ -129,49 +142,58 @@ def pack_sequences(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += int(totals[pid] or 0)
-    base_off = spark.sparkContext.broadcast(offsets)
+    if offsets:
+        pairs: list = []
+        for pid, off0 in offsets.items():
+            # values uniformly long: global token offsets overflow int32
+            pairs += [F.lit(int(pid)), F.lit(int(off0)).cast("long")]
+        # try_element_at: NULL (not an ANSI error) on a missing key, so the
+        # clear raise_error below owns the failure message
+        base_off = F.try_element_at(F.create_map(*pairs), F.col("_pid"))
+    else:
+        base_off = F.lit(0).cast("long")
+    # a bucket unseen by the totals pass => the input changed between jobs
+    base_off = F.when(
+        base_off.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: bucket "),
+                F.col("_pid").cast("string"),
+                F.lit(
+                    " absent from the offsets pass — the input changed "
+                    "between the totals job and the piece job (see the "
+                    "determinism precondition in the docstring)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(base_off)
 
-    def emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        # a physical partition holds every row of >=1 whole buckets, sorted
-        # by (_pid, _id); track the running offset per bucket, resetting at
-        # bucket changes. Slices stay numpy views (no per-token Python
-        # boxing — Arrow takes object columns of int32 arrays directly).
-        import numpy as np
-
-        cur_pid, off = None, 0
-        for pdf in batches:
-            ex_ids, starts, slices = [], [], []
-            for pid, toks in zip(pdf["_pid"], pdf["_t"]):
-                pid = int(pid)
-                if pid != cur_pid:
-                    if pid not in base_off.value:
-                        raise RuntimeError(
-                            f"pack_sequences: bucket {pid} absent from the "
-                            "offsets pass — the input changed between the "
-                            "totals job and the emit job (see the "
-                            "determinism precondition in the docstring)"
-                        )
-                    cur_pid, off = pid, base_off.value[pid]
-                toks = np.asarray(toks, np.int32)
-                pos, n = 0, len(toks)
-                while pos < n:
-                    ex = (off + pos) // max_len
-                    take = min(n - pos, (ex + 1) * max_len - (off + pos))
-                    ex_ids.append(ex)
-                    starts.append(off + pos)
-                    slices.append(toks[pos : pos + take])
-                    pos += take
-                off += n
-            if ex_ids:  # an all-empty batch would yield float64 columns
-                # that Arrow cannot cast to (long, long, list<int32>)
-                yield pd.DataFrame(
-                    {"example_id": ex_ids, "_start": starts, "_slice": slices}
-                )
-
-    pieces = (
-        base.repartition(max(n_buckets, 1), "_pid")
-        .sortWithinPartitions("_pid", "_id")
-        .mapInPandas(emit, "example_id long, _start long, _slice array<int>")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (base_off + F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0))).cast(
+        "long"
+    )
+    n = F.size("_t").cast("long")
+    first_ex = F.floor(off / max_len)
+    last_ex = F.floor((off + n - F.lit(1)) / max_len)
+    ks = F.when(
+        n > 0, F.sequence(first_ex, last_ex)
+    ).otherwise(F.array().cast("array<long>"))
+    with_off = base.select("_t", off.alias("_off"), n.alias("_n"), ks.alias("_ks"))
+    exploded = with_off.select(
+        "_t", "_off", "_n", F.explode("_ks").alias("example_id")
+    )
+    gs = F.greatest(F.col("_off"), F.col("example_id") * max_len)
+    ge = F.least(F.col("_off") + F.col("_n"), (F.col("example_id") + 1) * max_len)
+    pieces = exploded.select(
+        F.col("example_id"),
+        gs.alias("_start"),
+        F.slice(
+            F.col("_t"), (gs - F.col("_off") + 1).cast("int"), (ge - gs).cast("int")
+        ).alias("_slice"),
     )
     return (
         pieces.groupBy("example_id")
