@@ -145,12 +145,14 @@ def main() -> None:
 
     section(
         "Sequence packing",
-        "What to check: exactly TWO exchanges — the hash repartition on the\n"
-        "DETERMINISTIC bucket id (pure function of doc_id + sampled-once\n"
-        "boundary literals; no repartitionByRange, no InMemoryRelation pin)\n"
-        "and the example-id aggregation that moves each token once. No\n"
-        "per-token Generate/explode; the python stage emits one row per\n"
-        "document x example intersection.",
+        "What to check: exactly TWO exchanges — the hash partition on the\n"
+        "DETERMINISTIC bucket id feeding the per-bucket offset window (pure\n"
+        "function of doc_id + sampled-once boundary literals; no\n"
+        "repartitionByRange, no InMemoryRelation pin) and the example-id\n"
+        "aggregation that moves each token once. NO python stage anywhere:\n"
+        "piece-cutting is sequence/explode/slice JVM expressions, and the\n"
+        "Generate is per document x example intersection (<= n/max_len + 1\n"
+        "rows per doc), never per token.",
         pack_sequences(spark.read.parquet(paths["tokenized"]), max_len=256),
     )
 
