@@ -1491,7 +1491,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # -- NEW this round (r4): no driver row yet; verified by
+        #    check_oracles + pytest, lead the r5 window --
+        "fim_transform": q_fim_transform,
+        "bigram_novelty": q_bigram_novelty,
     }
+
+
+def q_fim_transform(spark, sf_dir):
+    """Deterministic PSM fill-in-the-middle over the tokenized table:
+    md5-hash-selected 50% of docs reordered to [PRE]prefix[SUF]suffix
+    [MID]middle with hash-chosen split points (sentinels -1/-2/-3)."""
+    from otel_tail_sampler_spark.operators.augment import fim_transform
+
+    tok = _dataset(sf_dir)["tokenized"]
+    out = fim_transform(
+        spark.read.parquet(tok),
+        pre_id=-1, mid_id=-2, suf_id=-3, rate=0.5, min_len=4,
+    )
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        F.size("tokens").cast("int").alias("n_tok"),
+        _tokens_md5().alias("tokens_md5"),
+    )
+
+
+def q_bigram_novelty(spark, sf_dir):
+    """Capped bigram-model novelty/fluency signals (the transcendental-
+    free perplexity-filter stand-in): unseen-bigram fraction + model
+    frequency mass per document, integer-exact ratios."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        score_bigram_novelty,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    model = build_bigram_model(tok, model_size=5000)
+    out = score_bigram_novelty(tok, model)
+    nb = F.col("n_bigrams")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        "hit_freq_sum",
+        F.round(
+            F.when(nb > 0, F.col("n_unseen").cast("double") / nb), 6
+        ).alias("unseen_frac"),
+    )
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -2832,6 +2879,63 @@ def oracle_sql() -> dict[str, str]:
                                          x -> x IN ({stop['en']})))
                          / greatest(len(ws), 1)::DOUBLE, 6) AS stopword_ratio_en
             FROM w
+        """,
+        "fim_transform": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            sp AS (
+              SELECT doc_id, tokens, len(tokens) AS n,
+                     ({_hfrac_sql("doc_id", "fim|apply")} < 0.5
+                      AND len(tokens) >= 4) AS sel,
+                     floor({_hfrac_sql("doc_id", "fim|p1")}
+                           * (len(tokens) + 1))::INT AS p1
+              FROM tok),
+            sp2 AS (
+              SELECT *, (p1 + floor({_hfrac_sql("doc_id", "fim|p2")}
+                                    * (n - p1 + 1)))::INT AS p2
+              FROM sp),
+            outp AS (
+              SELECT doc_id, sel,
+                     CASE WHEN sel
+                          THEN [-1] || tokens[1:p1] || [-3]
+                               || tokens[p2+1:n] || [-2]
+                               || tokens[p1+1:p2]
+                          ELSE tokens END AS toks
+              FROM sp2)
+            SELECT doc_id, sel AS fim_applied, len(toks)::INT AS n_tok,
+                   md5(coalesce(array_to_string(toks, ','), '')) AS tokens_md5
+            FROM outp
+        """,
+        "bigram_novelty": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            bi AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 2
+                          THEN [tokens[i]::BIGINT * 4294967296 + tokens[i+1]
+                                for i in range(1, len(tokens))]
+                          ELSE []::BIGINT[] END AS bg
+              FROM tok),
+            ex AS (SELECT doc_id, unnest(bg) AS b FROM bi),
+            cnt AS (SELECT b, count(*)::BIGINT AS freq FROM ex GROUP BY 1),
+            model AS (SELECT b, freq FROM cnt
+                      ORDER BY freq DESC, b ASC LIMIT 5000),
+            per AS (
+              SELECT ex.doc_id, count(*)::INT AS nb,
+                     sum(CASE WHEN m.b IS NULL THEN 1 ELSE 0 END)::INT AS nu,
+                     sum(coalesce(m.freq, 0))::BIGINT AS hs
+              FROM ex LEFT JOIN model m ON ex.b = m.b GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(per.nb, 0)::INT AS n_bigrams,
+                   coalesce(per.nu, 0)::INT AS n_unseen,
+                   coalesce(per.hs, 0)::BIGINT AS hit_freq_sum,
+                   round(CASE WHEN per.nb > 0
+                              THEN per.nu::DOUBLE / per.nb END, 6) AS unseen_frac
+            FROM tok t LEFT JOIN per USING (doc_id)
         """,
     }
 

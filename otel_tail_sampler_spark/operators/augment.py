@@ -1,0 +1,76 @@
+"""Training-example augmentation: deterministic fill-in-the-middle (FIM).
+
+FIM (Bavarian et al. 2022, "Efficient Training of Language Models to Fill
+in the Middle") rewrites a causal LM training sequence so the model learns
+infilling: split tokens into (prefix, middle, suffix), then emit the PSM
+layout  [PRE] prefix [SUF] suffix [MID] middle  — the middle moves to the
+end so a left-to-right model predicts it conditioned on both sides. The
+standard recipe applies the transform to a sampled fraction of documents
+(``rate``) and leaves the rest untouched.
+
+Engine-portable determinism: whether a document is transformed AND where
+the two split points fall are pure md5-hash functions of the document id
+(functions/hashing.py — bit-identical in Spark and DuckDB), so the output
+is reproducible across runs, partitionings, and engines; the oracle
+replays the exact splits in SQL.
+
+Scale shape: one scan-time projection — slice/concat expressions, fully
+whole-stage-codegen, no shuffle, no Python stage. Apply BEFORE
+pack_sequences (the reference order in corpus-prep pipelines) so packed
+examples carry the reordered layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.functions.hashing import hash_frac
+
+
+def fim_transform(
+    df: DataFrame,
+    pre_id: int,
+    mid_id: int,
+    suf_id: int,
+    rate: float = 0.5,
+    min_len: int = 4,
+    seed: str = "fim",
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Apply PSM fill-in-the-middle to a deterministic ``rate`` fraction
+    of documents (hash-selected by id; documents shorter than ``min_len``
+    tokens always pass through). Adds ``fim_applied`` and rewrites
+    ``tok_col``/its size.
+
+    Split points: with n = len(tokens), p1 = floor(f1 * (n+1)) and
+    p2 = p1 + floor(f2 * (n-p1+1)) where f1, f2 are md5 hash fractions of
+    the id — so 0 <= p1 <= p2 <= n, and prefix = tokens[:p1],
+    middle = tokens[p1:p2], suffix = tokens[p2:]. Empty sections are
+    legal (the sentinels still mark them, as in the paper's tokenizer).
+
+    The three sentinel ids are the caller's vocabulary business (reserve
+    them outside the token id space, e.g. negative or >= vocab_size).
+    """
+    t = F.col(tok_col)
+    n = F.size(tok_col)
+    key = F.col(id_col).cast("string")
+    sel = (hash_frac(key, f"{seed}|apply") < float(rate)) & (
+        n >= int(min_len)
+    )
+    f1 = hash_frac(key, f"{seed}|p1")
+    f2 = hash_frac(key, f"{seed}|p2")
+    p1 = F.floor(f1 * (n + F.lit(1))).cast("int")
+    p2 = (p1 + F.floor(f2 * (n - p1 + F.lit(1)))).cast("int")
+    psm = F.concat(
+        F.array(F.lit(int(pre_id))),
+        F.slice(t, 1, p1),
+        F.array(F.lit(int(suf_id))),
+        F.slice(t, p2 + 1, n - p2),
+        F.array(F.lit(int(mid_id))),
+        F.slice(t, p1 + 1, p2 - p1),
+    ).cast("array<int>")
+    return df.withColumn("fim_applied", sel).withColumn(
+        tok_col, F.when(sel, psm).otherwise(t)
+    )

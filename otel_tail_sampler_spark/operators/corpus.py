@@ -414,3 +414,126 @@ def split_corpus(
         .when(f < train + val, "val")
         .otherwise("test"),
     )
+
+
+def build_bigram_model(
+    df: DataFrame,
+    model_size: int = 1 << 20,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Capped adjacent-bigram language model over the corpus:
+    -> (bigram bigint, freq bigint), the ``model_size`` most frequent
+    adjacent token pairs, packed as t1 * 2^32 + t2 (precondition: token
+    ids in [0, 2^31) — true for hash_tokenize / encode_with_vocab output).
+    Deterministic cap tie-break (freq DESC, bigram ASC) keeps the model
+    identical across engines and reruns.
+
+    This is the integer-count backbone of LM-style fluency/novelty
+    filtering WITHOUT transcendentals: log-prob perplexity is not
+    bit-reproducible across engines (ln diverges in the last ulp), so
+    ``score_bigram_novelty`` reports exact ratio signals (unseen-bigram
+    fraction, mean bigram frequency) computed from these counts — the
+    quantities a perplexity filter actually thresholds on, oracle-exact.
+
+    Scale shape: mirrors vocab_histogram — the explode is transient
+    (partial aggregation combines map-side, so the shuffle carries one
+    (bigram, partial-count) row per distinct pair per split, bounded by
+    distinct-bigram cardinality, not corpus size); the cap's global
+    sort-limit runs over the aggregated model candidates (TakeOrdered, no
+    full sort at scale).
+    """
+    t = F.col(tok_col)
+    n = F.size(tok_col)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: a.cast("bigint") * F.lit(4294967296) + b.cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(int(model_size))
+    )
+
+
+def score_bigram_novelty(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Score each document against a built bigram model:
+    -> (id, n_bigrams int, n_unseen int, hit_freq_sum bigint).
+
+    ``n_unseen`` counts the document's adjacent bigrams absent from the
+    (capped) model; ``hit_freq_sum`` sums the model frequency of the
+    present ones. Downstream ratio signals (unseen_frac = n_unseen /
+    n_bigrams, mean_freq = hit_freq_sum / n_bigrams) are exact integer
+    divisions — compute them query-side so float handling stays at the
+    comparison boundary. High unseen_frac ≈ high perplexity (novel or
+    noisy text); near-zero ≈ boilerplate (see the transcendental-free
+    rationale on build_bigram_model).
+
+    Scale shape: identical to doc_rarity / encode_with_vocab — the model
+    is cap-bounded, collected once, broadcast as two sorted numpy arrays,
+    and the scoring is one shuffle-free Arrow-batched mapInPandas with a
+    clamped searchsorted probe; the corpus never shuffles. Same
+    determinism precondition: the model is collected eagerly, scoring
+    runs in a later job over the same input.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    mpdf = model.select("bigram", "freq").toPandas()
+    bg = mpdf["bigram"].to_numpy(np.int64)
+    order = np.argsort(bg)
+    mb = bg[order]
+    mf = mpdf["freq"].to_numpy(np.int64)[order]
+    b = df.sparkSession.sparkContext.broadcast((mb, mf))
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        vb, vf = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bi, n_unseen, hit_sum = [], [], []
+            for t in pdf[tok_col]:
+                a = np.asarray(t, np.int64)
+                if a.size >= 2:
+                    pairs = a[:-1] * np.int64(4294967296) + a[1:]
+                    if vb.size:
+                        idx = np.searchsorted(vb, pairs)
+                        idx[idx == vb.size] = 0
+                        hit = vb[idx] == pairs
+                        n_bi.append(pairs.size)
+                        n_unseen.append(int(pairs.size - hit.sum()))
+                        hit_sum.append(int(vf[idx][hit].sum()))
+                    else:
+                        n_bi.append(pairs.size)
+                        n_unseen.append(int(pairs.size))
+                        hit_sum.append(0)
+                else:
+                    n_bi.append(0)
+                    n_unseen.append(0)
+                    hit_sum.append(0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bigrams": np.asarray(n_bi, np.int32),
+                    "n_unseen": np.asarray(n_unseen, np.int32),
+                    "hit_freq_sum": np.asarray(hit_sum, np.int64),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+        fn,
+        f"{id_col} {id_type}, n_bigrams int, n_unseen int, hit_freq_sum long",
+    )

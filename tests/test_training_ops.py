@@ -822,3 +822,124 @@ def test_corpus_mixture_and_vocab(spark, docs):
     assert h == {1: 1, 2: 3, 3: 1}
     top1 = vocab_histogram(tok, top_k=1).collect()
     assert [(r["token"], r["freq"]) for r in top1] == [(2, 3)]
+
+
+def test_fim_transform_psm_structure(spark):
+    """Applied rows carry exactly [PRE] prefix [SUF] suffix [MID] middle
+    with the original reconstructible as prefix+middle+suffix; unapplied
+    and short rows pass through untouched."""
+    from otel_tail_sampler_spark.operators.augment import fim_transform
+
+    rows = [(f"d{i}", list(range(i, i + 12))) for i in range(40)]
+    rows.append(("short", [1, 2]))
+    rows.append(("empty", []))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = fim_transform(
+        df, pre_id=-1, mid_id=-2, suf_id=-3, rate=0.5, min_len=4
+    ).toPandas()
+    orig = dict(rows)
+    n_applied = 0
+    for _, r in out.iterrows():
+        toks = list(r["tokens"])
+        if not r["fim_applied"]:
+            assert toks == orig[r["doc_id"]]
+            continue
+        n_applied += 1
+        assert toks[0] == -1 and len(toks) == len(orig[r["doc_id"]]) + 3
+        i_suf, i_mid = toks.index(-3), toks.index(-2)
+        prefix = toks[1:i_suf]
+        suffix = toks[i_suf + 1 : i_mid]
+        middle = toks[i_mid + 1 :]
+        assert prefix + middle + suffix == orig[r["doc_id"]]
+    # hash-selected rate over 40 eligible docs: well away from 0 and 40
+    assert 10 <= n_applied <= 30
+    assert not out[out["doc_id"] == "short"]["fim_applied"].iloc[0]
+    assert not out[out["doc_id"] == "empty"]["fim_applied"].iloc[0]
+
+
+def test_fim_transform_is_pure_projection(spark):
+    """Scan-time transform: no shuffle, no Python stage in the plan."""
+    from otel_tail_sampler_spark.operators.augment import fim_transform
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>"
+    )
+    plan = fim_transform(df, -1, -2, -3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_bigram_model_counts_and_cap_tiebreak(spark):
+    """Hand-checked counts; the cap keeps (freq DESC, bigram ASC)."""
+    from otel_tail_sampler_spark.operators.corpus import build_bigram_model
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [1, 2]), ("c", [9, 9]), ("d", [7])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r["bigram"]: r["freq"]
+        for r in build_bigram_model(df, model_size=100).collect()
+    }
+    b12 = 1 * 4294967296 + 2
+    b23 = 2 * 4294967296 + 3
+    b99 = 9 * 4294967296 + 9
+    assert got == {b12: 2, b23: 1, b99: 1}
+    capped = [
+        r["bigram"] for r in build_bigram_model(df, model_size=2).collect()
+    ]
+    # (1,2) freq 2 first; then freq-1 tie broken by smaller packed bigram
+    assert capped == [b12, b23]
+
+
+def test_score_bigram_novelty_scalar_reference(spark):
+    """Spark scoring == a pure-python scalar reference on random docs."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        score_bigram_novelty,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"d{i}", [int(x) for x in rng.integers(0, 12, rng.integers(0, 15))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    model = build_bigram_model(df, model_size=20)
+    mref = {r["bigram"]: r["freq"] for r in model.collect()}
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["hit_freq_sum"])
+        for r in score_bigram_novelty(df, model).collect()
+    }
+    for doc_id, toks in rows:
+        pairs = [
+            toks[i] * 4294967296 + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+        exp = (
+            len(pairs),
+            sum(1 for p in pairs if p not in mref),
+            sum(mref.get(p, 0) for p in pairs),
+        )
+        assert got[doc_id] == exp, doc_id
+
+
+def test_score_bigram_novelty_is_shuffle_free(spark):
+    """The corpus never shuffles during scoring: model broadcast, one
+    Arrow stage over the scan."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        score_bigram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3])], "doc_id string, tokens array<int>"
+    )
+    model = build_bigram_model(df, model_size=10)
+    plan = (
+        score_bigram_novelty(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
