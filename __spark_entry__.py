@@ -1495,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    check_oracles + pytest, lead the r5 window --
         "fim_transform": q_fim_transform,
         "bigram_novelty": q_bigram_novelty,
+        "quantized_topk": q_quantized_topk,
     }
 
 
@@ -1538,6 +1539,29 @@ def q_bigram_novelty(spark, sf_dir):
         F.round(
             F.when(nb > 0, F.col("n_unseen").cast("double") / nb), 6
         ).alias("unseen_frac"),
+    )
+
+
+def q_quantized_topk(spark, sf_dir):
+    """Exact-integer ANN over int8-quantized embeddings: the quantization
+    is the only approximation; scoring is bit-reproducible (int dot +
+    correctly-rounded sqrt/divide), so unlike the float-cosine ANN pair
+    this one carries a full value-hash oracle."""
+    from otel_tail_sampler_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cq = quantize_embeddings(emb)
+    qq = quantize_embeddings(
+        emb.filter(F.col("vec_id") < 4)
+    ).withColumnRenamed("vec_id", "query_id")
+    return quantized_topk(cq, qq, k=5, query_id="query_id").select(
+        "query_id",
+        "corpus_id",
+        F.round("qcos", 6).alias("qcos"),
+        "rank",
     )
 
 
@@ -2936,6 +2960,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN per.nb > 0
                               THEN per.nu::DOUBLE / per.nb END, 6) AS unseen_frac
             FROM tok t LEFT JOIN per USING (doc_id)
+        """,
+        "quantized_topk": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            am AS (SELECT vec_id,
+                          list_max(list_transform(embedding, x -> abs(x))) AS amax
+                   FROM e),
+            qv AS (
+              SELECT e.vec_id,
+                     CASE WHEN am.amax > 0
+                          THEN list_transform(e.embedding,
+                                 x -> round(x::DOUBLE
+                                            / (am.amax::DOUBLE / 127.0))::INT)
+                          ELSE list_transform(e.embedding, x -> 0) END AS q
+              FROM e JOIN am USING (vec_id)),
+            n AS (SELECT vec_id, q,
+                         list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nn
+                  FROM qv),
+            p AS (
+              SELECT c.vec_id AS corpus_id, qu.vec_id AS query_id,
+                     list_dot_product(c.q::DOUBLE[], qu.q::DOUBLE[]) AS d,
+                     c.nn AS cc, qu.nn AS q2
+              FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 4) qu),
+            s AS (
+              SELECT query_id, corpus_id,
+                     CASE WHEN cc > 0 AND q2 > 0
+                          THEN d / (sqrt(cc) * sqrt(q2))
+                          ELSE 0.0 END AS qcos
+              FROM p),
+            r AS (
+              SELECT query_id, corpus_id, qcos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qcos DESC, corpus_id ASC) AS rank
+              FROM s)
+            SELECT query_id, corpus_id, round(qcos, 6) AS qcos, rank::INT AS rank
+            FROM r WHERE rank <= 5
         """,
     }
 

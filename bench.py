@@ -153,6 +153,7 @@ def main() -> None:
         "contamination",
         "dup_token_spans",
         "corpus_to_shards",
+        "bigram_novelty",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5)

@@ -499,36 +499,56 @@ def score_bigram_novelty(
     b = df.sparkSession.sparkContext.broadcast((mb, mf))
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # batch-vectorized: ONE concatenate + searchsorted + reduceat per
+        # Arrow batch instead of a per-document Python loop (the loop was
+        # ~4us/doc of pure interpreter overhead — the whole secondary's
+        # cost at 600k docs). Documents are segmented in the flat pair
+        # stream; boundary-crossing pairs are masked out, and a zero
+        # sentinel keeps every reduceat start index in bounds.
         vb, vf = b.value
+        K = np.int64(4294967296)
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            n_bi, n_unseen, hit_sum = [], [], []
-            for t in pdf[tok_col]:
-                a = np.asarray(t, np.int64)
-                if a.size >= 2:
-                    pairs = a[:-1] * np.int64(4294967296) + a[1:]
-                    if vb.size:
-                        idx = np.searchsorted(vb, pairs)
-                        idx[idx == vb.size] = 0
-                        hit = vb[idx] == pairs
-                        n_bi.append(pairs.size)
-                        n_unseen.append(int(pairs.size - hit.sum()))
-                        hit_sum.append(int(vf[idx][hit].sum()))
-                    else:
-                        n_bi.append(pairs.size)
-                        n_unseen.append(int(pairs.size))
-                        hit_sum.append(0)
-                else:
-                    n_bi.append(0)
-                    n_unseen.append(0)
-                    hit_sum.append(0)
+            arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, n)
+            nbi = np.maximum(lens - 1, 0)
+            nu = np.zeros(n, np.int64)
+            hs = np.zeros(n, np.int64)
+            nz = lens > 0
+            total = int(lens.sum())
+            if total >= 2 and vb.size:
+                flat = np.concatenate([a for a in arrs if a.size])
+                pairs = flat[:-1] * K + flat[1:]
+                idx = np.searchsorted(vb, pairs)
+                idx[idx == vb.size] = 0
+                hit = vb[idx] == pairs
+                cum = np.cumsum(lens[nz])
+                cross = np.zeros(pairs.size, bool)
+                cross[cum[:-1] - 1] = True  # pairs spanning two documents
+                unseen_c = np.append(
+                    np.where(cross, np.int64(0), (~hit).astype(np.int64)), 0
+                )
+                freq_c = np.append(
+                    np.where(cross | ~hit, np.int64(0), vf[idx]), 0
+                )
+                starts = np.concatenate(([0], cum[:-1]))
+                nu[nz] = np.add.reduceat(unseen_c, starts)
+                hs[nz] = np.add.reduceat(freq_c, starts)
+                # reduceat returns a[i] (not 0) for empty segments — a
+                # single-token doc has no pairs of its own; force zero
+                one = nbi == 0
+                nu[one] = 0
+                hs[one] = 0
+            elif not vb.size:
+                nu = nbi.copy()  # empty model: every bigram is unseen
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bigrams": np.asarray(n_bi, np.int32),
-                    "n_unseen": np.asarray(n_unseen, np.int32),
-                    "hit_freq_sum": np.asarray(hit_sum, np.int64),
+                    "n_bigrams": nbi.astype(np.int32),
+                    "n_unseen": nu.astype(np.int32),
+                    "hit_freq_sum": hs,
                 }
             )
 

@@ -298,3 +298,106 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization:
+    -> (id, qvec array<int> in [-127, 127], scale double) with
+    scale = max(|v|) / 127 and q_i = round(v_i / scale) (HALF_UP — Spark
+    and DuckDB agree); an all-zero or empty vector gets scale 0.0 and an
+    all-zero qvec. v_i ~= q_i * scale reconstructs to within scale/2.
+
+    This is the storage/compute scale path for ANN at 100 TB: 4x smaller
+    vectors, and downstream scoring (quantized_topk) runs on EXACT integer
+    dot products — bit-reproducible across engines, unlike float32
+    accumulation whose order matters. Engine parity: float32 -> double
+    casts are exact, / and round(d) are correctly-rounded IEEE, so the
+    DuckDB oracle replays quantization bit-for-bit.
+
+    Scan-time projection, no shuffle. The transform lambda divides by the
+    outer scale expression; with 64-dim vectors the worst-case re-eval is
+    O(d^2)=4k flops per row — irrelevant next to the scan. (See the HOF
+    re-evaluation trap in functions/spread.py's module notes.)
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax.cast("double") / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / scale).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.when(amax > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two int arrays (engine-reproducible:
+    every partial sum is an exact integer, so accumulation order cannot
+    round — the property float32 dots lack)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors (quantize_embeddings
+    output on both sides): qcos = int_dot(qc, qq) / (sqrt(|qc|^2) *
+    sqrt(|qq|^2)), ranked (qcos DESC, corpus_id ASC) per query.
+    -> (query_id, corpus_id, qcos, rank).
+
+    Approximation lives ONLY in the quantization (qcos -> cosine as the
+    int8 grid refines); the scoring itself is exact integer arithmetic
+    plus correctly-rounded sqrt/divide, so the ranking is deterministic
+    and the DuckDB oracle matches bit-for-bit — unlike float32 cosine
+    where sum order shifts the last ulp.
+
+    Scale shape: mirrors cosine_topk — squared norms precomputed per side
+    (one pass), the small query side broadcast, per-query top-k window.
+    Quantize the corpus ONCE, store qvec+scale columns, and amortize
+    across query batches.
+    """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    c = spread_small_input(corpus_q).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(qvec_col).alias("_cq"),
+        _int_dot(F.col(qvec_col), F.col(qvec_col)).alias("_cc"),
+    )
+    q = queries_q.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qvec_col).alias("_qq"),
+        _int_dot(F.col(qvec_col), F.col(qvec_col)).alias("_q2"),
+    )
+    dot = _int_dot(F.col("_cq"), F.col("_qq"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "qcos",
+        F.when(
+            (F.col("_cc") > 0) & (F.col("_q2") > 0),
+            dot.cast("double")
+            / (F.sqrt(F.col("_cc").cast("double")) * F.sqrt(F.col("_q2").cast("double"))),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "qcos", "rank")
+    )

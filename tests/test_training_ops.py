@@ -943,3 +943,49 @@ def test_score_bigram_novelty_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (list(r["qvec"]), r["scale"])
+        for r in quantize_embeddings(df).collect()
+    }
+    # scale = 2/127; q = round(v * 127 / 2) = [64, -127, 32] (63.5 -> 64)
+    assert got[1] == ([64, -127, 32], 2.0 / 127.0)
+    assert got[2] == ([0, 0, 0], 0.0)
+    assert got[3] == ([], 0.0)
+
+
+def test_quantized_topk_tracks_float_topk(spark, emb):
+    """int8 on 64 dims barely moves the ranking: the quantized top-5 per
+    query overlaps the exact float top-5 in >= 4 of 5 slots and agrees on
+    the nearest neighbor."""
+    from otel_tail_sampler_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    cq = quantize_embeddings(emb)
+    qq = quantize_embeddings(emb.filter(F.col("vec_id") < 4)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    quant = quantized_topk(cq, qq, k=5, query_id="query_id").toPandas()
+    for qid in exact["query_id"].unique():
+        e = exact[exact["query_id"] == qid].sort_values("rank")
+        g = quant[quant["query_id"] == qid].sort_values("rank")
+        assert len(set(e["corpus_id"]) & set(g["corpus_id"])) >= 4, qid
+        assert e["corpus_id"].iloc[0] == g["corpus_id"].iloc[0], qid
