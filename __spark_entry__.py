@@ -1496,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "bigram_novelty": q_bigram_novelty,
         "quantized_topk": q_quantized_topk,
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1562,6 +1564,29 @@ def q_quantized_topk(spark, sf_dir):
         "corpus_id",
         F.round("qcos", 6).alias("qcos"),
         "rank",
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window context chunking over the tokenized table
+    (max_len 64 / stride 48 — overlap 16; sized so sf0.01 docs chunk)."""
+    from otel_tail_sampler_spark.operators.corpus import chunk_documents
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    out = chunk_documents(tok, max_len=64, stride=48)
+    return out.select(
+        "doc_id", "chunk_id", _tokens_md5().alias("tokens_md5"), "n_tok"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-source quota (min(quota, group size) smallest md5 ranks
+    survive), two-level salted selection."""
+    from otel_tail_sampler_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, quota=10).select(
+        "doc_id", "source", "lang"
     )
 
 
@@ -2995,6 +3020,38 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, corpus_id, round(qcos, 6) AS qcos, rank::INT AS rank
             FROM r WHERE rank <= 5
+        """,
+        "chunk_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            c AS (
+              SELECT doc_id, tokens,
+                     CASE WHEN len(tokens) > 0
+                          THEN range(0, ((greatest(len(tokens) - 64, 0) + 47)
+                                         // 48) + 1)
+                          ELSE [] END AS ks
+              FROM tok),
+            ex AS (SELECT doc_id, tokens, unnest(ks) AS k FROM c),
+            ch AS (
+              SELECT doc_id, k::INT AS chunk_id,
+                     tokens[k * 48 + 1 : k * 48 + 64] AS chunk
+              FROM ex)
+            SELECT doc_id, chunk_id,
+                   md5(coalesce(array_to_string(chunk, ','), '')) AS tokens_md5,
+                   len(chunk)::INT AS n_tok
+            FROM ch
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR || '|strat'), doc_id
+                     ) AS r
+              FROM documents)
+            WHERE r <= 10
         """,
     }
 

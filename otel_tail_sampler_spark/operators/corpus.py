@@ -557,3 +557,85 @@ def score_bigram_novelty(
         fn,
         f"{id_col} {id_type}, n_bigrams int, n_unseen int, hit_freq_sum long",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_len: int = 512,
+    stride: int = 448,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Sliding-window context chunking: each document becomes overlapping
+    chunks, chunk k covering tokens [k*stride, k*stride + max_len), for
+    k = 0 .. ceil(max(n - max_len, 0) / stride) — the standard long-doc
+    treatment when examples must not straddle documents (the alternative
+    to pack_sequences' concatenate-and-cut). stride < max_len gives
+    max_len - stride tokens of overlap; the final chunk may be short;
+    empty documents emit nothing. -> (id, chunk_id int, tokens, n_tok).
+
+    Scale shape: scan-time sequence/explode/slice, the same zero-shuffle
+    piece-cutting pattern as pack_sequences — output is ~n/stride rows
+    per doc, all whole-stage codegen.
+    """
+    if stride < 1 or max_len < 1:
+        raise ValueError("stride and max_len must be >= 1")
+    t, n = F.col(tok_col), F.size(tok_col)
+    last = F.floor(
+        (F.greatest(n - max_len, F.lit(0)) + F.lit(stride - 1)) / stride
+    )
+    ks = F.when(n > 0, F.sequence(F.lit(0).cast("long"), last)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    ex = df.select(
+        F.col(id_col), t.alias("_t"), F.explode(ks).alias("_k")
+    )
+    chunk = F.slice(
+        F.col("_t"), (F.col("_k") * stride + 1).cast("int"), max_len
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("_k").cast("int").alias("chunk_id"),
+        chunk.alias(tok_col),
+        F.size(chunk).cast("int").alias("n_tok"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exactly min(``quota``, group size) rows per ``by`` group: the
+    ``quota`` smallest md5(id||seed) survive — deterministic uniform
+    selection, identical across engines/partitionings (md5-hex ranking).
+    The per-group counterpart of mixture_sample's per-group RATES, for
+    eval-set carving and per-domain caps where the quota is absolute.
+
+    Scale shape: two-level selection, same scheme as the rate-limit
+    policy (policies.apply_rate_limit D8): rank within (group, salt)
+    first — a row ranked > quota inside any salt bucket is provably
+    outside the group's global top-quota — then exact-rank the
+    <= quota * salt_buckets survivors. No single task ever holds a whole
+    hot group; both windows share one exchange.
+    """
+    from pyspark.sql import Window
+
+    ordv = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    w1 = Window.partitionBy(by, "_salt").orderBy(ordv, F.col(id_col))
+    lvl1 = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)),
+    ).withColumn("_r1", F.row_number().over(w1))
+    w2 = Window.partitionBy(by).orderBy(ordv, F.col(id_col))
+    return (
+        lvl1.filter(F.col("_r1") <= quota)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= quota)
+        .drop("_salt", "_r1", "_r2")
+    )

@@ -989,3 +989,68 @@ def test_quantized_topk_tracks_float_topk(spark, emb):
         g = quant[quant["query_id"] == qid].sort_values("rank")
         assert len(set(e["corpus_id"]) & set(g["corpus_id"])) >= 4, qid
         assert e["corpus_id"].iloc[0] == g["corpus_id"].iloc[0], qid
+
+
+def test_chunk_documents_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [1, 2, 3]), ("c", [])],
+        "doc_id string, tokens array<int>",
+    )
+    out = chunk_documents(df, max_len=4, stride=3).toPandas()
+    a = out[out["doc_id"] == "a"].sort_values("chunk_id")
+    # ceil((10-4)/3)+1 = 3 chunks: [0:4], [3:7], [6:10]
+    assert [list(x) for x in a["tokens"]] == [
+        [0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]
+    ]
+    assert list(a["n_tok"]) == [4, 4, 4]
+    b = out[out["doc_id"] == "b"]
+    assert len(b) == 1 and list(b["tokens"].iloc[0]) == [1, 2, 3]
+    assert not len(out[out["doc_id"] == "c"])
+    # every position covered by >= 1 chunk for a stride-short tail
+    out2 = chunk_documents(
+        spark.createDataFrame(
+            [("d", list(range(11)))], "doc_id string, tokens array<int>"
+        ),
+        max_len=4,
+        stride=3,
+    ).toPandas()
+    covered = sorted({t for ch in out2["tokens"] for t in ch})
+    assert covered == list(range(11))
+
+
+def test_chunk_documents_is_pure_scan(spark):
+    from otel_tail_sampler_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3])], "doc_id string, tokens array<int>"
+    )
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "InPandas" not in plan
+
+
+def test_stratified_sample_exact_quota_and_reference(spark, docs):
+    """Per-group count == min(quota, group size); the two-level salted
+    selection equals the naive single-window reference exactly."""
+    from pyspark.sql import Window
+
+    from otel_tail_sampler_spark.operators.corpus import stratified_sample
+
+    got = stratified_sample(docs, quota=7, salt_buckets=8).toPandas()
+    sizes = docs.groupBy("source").count().toPandas()
+    want_n = {r["source"]: min(7, r["count"]) for _, r in sizes.iterrows()}
+    got_n = got.groupby("source")["doc_id"].count().to_dict()
+    assert got_n == want_n
+    ordv = F.md5(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("strat"))
+    )
+    w = Window.partitionBy("source").orderBy(ordv, F.col("doc_id"))
+    ref = (
+        docs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7)
+        .toPandas()
+    )
+    assert set(got["doc_id"]) == set(ref["doc_id"])
