@@ -1498,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
+        "mask_tokens": q_mask_tokens,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -1587,6 +1589,33 @@ def q_stratified_sample(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return stratified_sample(docs, quota=10).select(
         "doc_id", "source", "lang"
+    )
+
+
+def q_mask_tokens(spark, sf_dir):
+    """Deterministic MLM corruption: per-position md5 masking at 15%."""
+    from otel_tail_sampler_spark.operators.augment import mask_tokens
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    out = mask_tokens(tok, mask_id=-9, rate=0.15)
+    return out.select(
+        "doc_id",
+        "n_masked",
+        F.size("tokens").cast("int").alias("n_tok"),
+        _tokens_md5().alias("tokens_md5"),
+    )
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-5 right collocates per token by the exact PMI-proportional
+    ratio (capped bigram model, min pair count 3)."""
+    from otel_tail_sampler_spark.operators.corpus import pmi_collocations
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    out = pmi_collocations(tok, top_k=5, min_count=3, model_size=5000)
+    return out.select(
+        "token", "neighbor", "pair_freq", "freq_a", "freq_b",
+        F.round("score", 6).alias("score"), "rank",
     )
 
 
@@ -3052,6 +3081,75 @@ def oracle_sql() -> dict[str, str]:
                      ) AS r
               FROM documents)
             WHERE r <= 10
+        """,
+        "mask_tokens": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            m AS (
+              SELECT doc_id, tokens,
+                     [(('0x' || substring(md5(doc_id || ':'
+                          || (i-1)::VARCHAR || '|mlm'), 1, 8))::BIGINT
+                       / 4294967296.0) < 0.15
+                      for i in range(1, len(tokens) + 1)] AS mb
+              FROM tok),
+            o AS (
+              SELECT doc_id,
+                     [CASE WHEN mb[i] THEN -9 ELSE tokens[i] END
+                      for i in range(1, len(tokens) + 1)] AS toks,
+                     len(list_filter(mb, b -> b))::INT AS n_masked
+              FROM m)
+            SELECT doc_id, n_masked, len(toks)::INT AS n_tok,
+                   md5(coalesce(array_to_string(toks, ','), '')) AS tokens_md5
+            FROM o
+        """,
+        "pmi_collocations": f"""
+            WITH tok AS (
+              SELECT doc_id, tokens
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')
+            ),
+            bi AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 2
+                          THEN [tokens[i]::BIGINT * 4294967296 + tokens[i+1]
+                                for i in range(1, len(tokens))]
+                          ELSE []::BIGINT[] END AS bg
+              FROM tok),
+            ex AS (SELECT doc_id, unnest(bg) AS b FROM bi),
+            cnt AS (SELECT b, count(*)::BIGINT AS freq FROM ex GROUP BY 1),
+            model AS (SELECT b, freq FROM cnt
+                      ORDER BY freq DESC, b ASC LIMIT 5000),
+            nt AS (SELECT coalesce(sum(greatest(len(tokens) - 1, 0)), 0)::BIGINT AS n
+                   FROM tok),
+            uni AS (SELECT t, count(*)::BIGINT AS f
+                    FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1),
+            pairs AS (
+              SELECT ((b - r) // 4294967296
+                      + CASE WHEN r < 2147483648 THEN 0 ELSE 1 END)::BIGINT
+                       AS token,
+                     (CASE WHEN r < 2147483648 THEN r
+                           ELSE r - 4294967296 END)::BIGINT AS neighbor,
+                     freq AS pair_freq
+              FROM (SELECT b, freq,
+                           ((b % 4294967296) + 4294967296) % 4294967296 AS r
+                    FROM model)
+              WHERE freq >= 3),
+            sc AS (
+              SELECT p.token, p.neighbor, p.pair_freq,
+                     ua.f AS freq_a, ub.f AS freq_b,
+                     (p.pair_freq * (SELECT n FROM nt))::DOUBLE
+                       / (ua.f * ub.f)::DOUBLE AS score
+              FROM pairs p
+              JOIN uni ua ON p.token = ua.t
+              JOIN uni ub ON p.neighbor = ub.t),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY token
+                        ORDER BY score DESC, neighbor ASC) AS rank
+              FROM sc)
+            SELECT token, neighbor, pair_freq, freq_a, freq_b,
+                   round(score, 6) AS score, rank::INT AS rank
+            FROM r WHERE rank <= 5
         """,
     }
 

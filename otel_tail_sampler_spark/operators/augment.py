@@ -74,3 +74,54 @@ def fim_transform(
     return df.withColumn("fim_applied", sel).withColumn(
         tok_col, F.when(sel, psm).otherwise(t)
     )
+
+
+def mask_tokens(
+    df: DataFrame,
+    mask_id: int,
+    rate: float = 0.15,
+    seed: str = "mlm",
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Deterministic MLM-style corruption: position i of a document is
+    replaced with ``mask_id`` iff md5-frac(doc_id:i|seed) < ``rate`` —
+    the masked-language-model counterpart of fim_transform's causal
+    infilling. -> input columns with ``tok_col`` rewritten + ``n_masked``.
+
+    Per-POSITION hash (not per-document): masking density concentrates
+    like independent coin flips, reruns and engines agree exactly, and a
+    different ``seed`` gives a fresh mask epoch over the same corpus.
+
+    Scale shape: scan-time projection, no shuffle. The mask-bool array is
+    computed ONCE per row into its own projection and reused by both the
+    rewrite and the count (CollapseProject keeps multiply-referenced
+    non-cheap expressions un-inlined, so the per-position md5 runs once).
+    """
+    i_key = lambda i: F.md5(  # noqa: E731 — md5(doc_id:i|seed)
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            i.cast("string"),
+            F.lit("|" + seed),
+        )
+    )
+    frac = lambda i: (  # noqa: E731
+        F.conv(F.substring(i_key(i), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    mb = F.transform(F.col(tok_col), lambda x, i: frac(i) < float(rate))
+    step = df.withColumn("_mb", mb)
+    masked = F.zip_with(
+        F.col(tok_col),
+        F.col("_mb"),
+        lambda x, m: F.when(m, F.lit(int(mask_id))).otherwise(x),
+    ).cast("array<int>")
+    return (
+        step.withColumn(tok_col, masked)
+        .withColumn(
+            "n_masked",
+            F.size(F.filter(F.col("_mb"), lambda b: b)).cast("int"),
+        )
+        .drop("_mb")
+    )

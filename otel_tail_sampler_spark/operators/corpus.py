@@ -423,8 +423,10 @@ def build_bigram_model(
 ) -> DataFrame:
     """Capped adjacent-bigram language model over the corpus:
     -> (bigram bigint, freq bigint), the ``model_size`` most frequent
-    adjacent token pairs, packed as t1 * 2^32 + t2 (precondition: token
-    ids in [0, 2^31) — true for hash_tokenize / encode_with_vocab output).
+    adjacent token pairs, packed as t1 * 2^32 + t2 — injective over the
+    FULL int32 token range including negatives (|packed| < 2^63; the
+    same signed arithmetic in Spark SQL, numpy int64, and DuckDB BIGINT),
+    with pmi_collocations carrying the sign-correct decode.
     Deterministic cap tie-break (freq DESC, bigram ASC) keeps the model
     identical across engines and reruns.
 
@@ -638,4 +640,85 @@ def stratified_sample(
         .withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= quota)
         .drop("_salt", "_r1", "_r2")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_k: int = 10,
+    min_count: int = 5,
+    model_size: int = 1 << 20,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Top-``top_k`` right-hand collocates per token, ranked by the exact
+    PMI-proportional ratio score = c(a,b) * N / (c(a) * c(b)) with N the
+    corpus bigram total — log is monotonic, so ranking by the ratio IS
+    ranking by PMI, computed without transcendentals (engine-exact; see
+    build_bigram_model). Pairs rarer than ``min_count`` are dropped first
+    (PMI's classic low-count blowup). ->
+    (token, neighbor, pair_freq, freq_a, freq_b, score, rank).
+
+    Scale shape: pair counts come from the capped bigram model and the
+    unigram table from vocab_histogram — both vocabulary-bounded, so the
+    two equi-joins and the per-token top-k window all run on model-sized
+    inputs (the window's partition is a token's collocate list, capped by
+    the model, never the corpus). Products stay < 2^63 for any corpus
+    below ~3e9 bigrams per pair count; score division is one double op.
+    """
+    from pyspark.sql import Window
+
+    bm = build_bigram_model(df, model_size=model_size, tok_col=tok_col)
+    uni = vocab_histogram(df, tok_col=tok_col).select(
+        F.col("token").alias("_t"), F.col("freq").alias("_uf")
+    )
+    n_total = df.select(
+        F.sum(F.greatest(F.size(tok_col) - 1, F.lit(0))).alias("n")
+    ).collect()[0]["n"] or 0
+    # sign-correct decode of the t1*2^32 + t2 packing (injective for the
+    # FULL int32 token range, negatives included): pmod gives the
+    # canonical non-negative low word in both engines; a low word >= 2^31
+    # means t2 was negative (and borrowed from the high word).
+    r = F.pmod(F.col("bigram"), F.lit(4294967296))
+    neighbor = F.when(r < F.lit(2147483648), r).otherwise(
+        r - F.lit(4294967296)
+    )
+    # a low word >= 2^31 means t2 was negative and borrowed from the high
+    # word during packing — add the borrow back (caught by the planted
+    # negative-id unit test; the DuckDB oracle alone could not catch it
+    # because a symmetric decode bug matches symmetrically)
+    token = ((F.col("bigram") - r) / F.lit(4294967296)).cast("long") + F.when(
+        r < F.lit(2147483648), F.lit(0)
+    ).otherwise(F.lit(1))
+    pairs = (
+        bm.filter(F.col("freq") >= int(min_count))
+        .select(
+            token.alias("token"),
+            neighbor.cast("long").alias("neighbor"),
+            F.col("freq").alias("pair_freq"),
+        )
+    )
+    scored = (
+        pairs.join(uni.withColumnRenamed("_uf", "freq_a"), pairs["token"] == uni["_t"])
+        .drop("_t")
+        .join(
+            uni.select(F.col("_t"), F.col("_uf").alias("freq_b")),
+            F.col("neighbor") == F.col("_t"),
+        )
+        .drop("_t")
+        .withColumn(
+            "score",
+            (F.col("pair_freq") * F.lit(int(n_total))).cast("double")
+            / (F.col("freq_a") * F.col("freq_b")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("score"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            "token", "neighbor", "pair_freq", "freq_a", "freq_b",
+            "score", "rank",
+        )
     )

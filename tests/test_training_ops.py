@@ -1054,3 +1054,57 @@ def test_stratified_sample_exact_quota_and_reference(spark, docs):
         .toPandas()
     )
     assert set(got["doc_id"]) == set(ref["doc_id"])
+
+
+def test_mask_tokens_deterministic_and_counted(spark):
+    from otel_tail_sampler_spark.operators.augment import mask_tokens
+
+    rows = [(f"d{i}", list(range(100, 160))) for i in range(20)]
+    rows.append(("empty", []))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = mask_tokens(df, mask_id=-9, rate=0.15).toPandas()
+    orig = dict(rows)
+    total = masked = 0
+    for _, r in out.iterrows():
+        toks = list(r["tokens"])
+        o = orig[r["doc_id"]]
+        assert len(toks) == len(o)
+        changed = sum(1 for a, b in zip(toks, o) if a != b)
+        assert changed == r["n_masked"]
+        assert all(a == -9 for a, b in zip(toks, o) if a != b)
+        total += len(o)
+        masked += changed
+    # 1200 positions at 15%: binomial mean 180, sd ~12.4
+    assert 120 <= masked <= 240
+    again = mask_tokens(df, mask_id=-9, rate=0.15).toPandas()
+    assert list(map(list, again["tokens"])) == list(map(list, out["tokens"]))
+    other = mask_tokens(df, mask_id=-9, rate=0.15, seed="mlm2").toPandas()
+    assert list(map(list, other["tokens"])) != list(map(list, out["tokens"]))
+
+
+def test_pmi_collocations_hand_computed_with_negative_ids(spark):
+    """Scores verified by hand; a negative token id pins the sign-correct
+    bigram decode (the packed low word borrows from the high word)."""
+    from otel_tail_sampler_spark.operators.corpus import pmi_collocations
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 1, 2, 1, 3]),
+            ("b", [1, 2, 4, 5]),
+            ("c", [2, 3] * 5),
+            ("d", [-7, 2, -7, 2, -7, 2]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        (r["token"], r["neighbor"]): (r["pair_freq"], r["score"], r["rank"])
+        for r in pmi_collocations(df, top_k=3, min_count=2).collect()
+    }
+    # N = 5 + 3 + 9 + 5 = 22 bigrams
+    # c(1,2)=3, c(1)=4, c(2)=11 -> 3*22/44 = 1.5
+    assert out[(1, 2)] == (3, 3 * 22 / (4 * 11), 1)
+    # c(-7,2)=3, c(-7)=3, c(2)=11 -> 3*22/33 = 2.0
+    assert out[(-7, 2)] == (3, 3 * 22 / (3 * 11), 1)
+    # c(2,-7)=2, c(2)=11, c(-7)=3
+    assert out[(2, -7)][0] == 2
+    assert abs(out[(2, -7)][1] - 2 * 22 / (11 * 3)) < 1e-12
