@@ -195,6 +195,76 @@ def main() -> None:
         ),
     )
 
+    from otel_tail_sampler_spark.operators.augment import fim_transform
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        chunk_documents,
+        score_bigram_novelty,
+        stratified_sample,
+    )
+    from otel_tail_sampler_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from pyspark.sql import functions as F
+
+    tokdf = spark.read.parquet(paths["tokenized"])
+    section(
+        "FIM transform + MLM mask + context chunking (augment tier)",
+        "What to check: ZERO Exchange, ZERO Python — all three document\n"
+        "rewrites (PSM fill-in-the-middle, per-position mask, sliding\n"
+        "window chunks) are scan-time slice/concat/sequence projections\n"
+        "inside one WholeStageCodegen span. (Chunking shown; the other two\n"
+        "compose into the same single-stage shape.)",
+        chunk_documents(tokdf, max_len=64, stride=48),
+    )
+    section(
+        "Bigram-novelty scoring (model pre-built)",
+        "What to check: ZERO Exchange — the capped model is broadcast\n"
+        "(collected eagerly by score_bigram_novelty) and the corpus is\n"
+        "scored in one Arrow-batched stage over the scan; the corpus\n"
+        "never shuffles. The model BUILD is a separate vocabulary-bounded\n"
+        "two-phase count job, same shape as the vocab histogram.",
+        score_bigram_novelty(tokdf, build_bigram_model(tokdf, 1000)),
+    )
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(8)
+    section(
+        "Quantized ANN top-k",
+        "What to check: corpus side scans + quantizes in place (the\n"
+        "round-robin Exchange under it is the capture harness's\n"
+        "pre-spread of the tiny sf0.001 file — at lake scale the scan\n"
+        "plans many splits and no such exchange exists), query side\n"
+        "BroadcastExchange only, and the single hash exchange is the\n"
+        "per-query top-k window over scored pairs — the same movement\n"
+        "cosine_topk needs. WindowGroupLimit top-k-prunes map-side\n"
+        "before that exchange; scoring is exact int64 arithmetic (no\n"
+        "Python).",
+        quantized_topk(
+            quantize_embeddings(emb),
+            quantize_embeddings(
+                emb.filter(F.col("vec_id") < 4)
+            ).withColumnRenamed("vec_id", "query_id"),
+            k=5,
+            query_id="query_id",
+        ),
+    )
+    section(
+        "Stratified per-group quota sample",
+        "What to check: the exchange below the exact per-group window\n"
+        "moves ONLY the <= quota * salt_buckets survivors of the salted\n"
+        "first-level rank (group, salt) — a hot group spreads over\n"
+        "salt_buckets tasks and is pre-filtered before any single task\n"
+        "sees it whole; same scheme as the rate-limit policy. Spark's\n"
+        "WindowGroupLimit additionally top-k-prunes map-side before BOTH\n"
+        "exchanges.",
+        stratified_sample(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            quota=10, salt_buckets=8
+        ),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"

@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--min-words", type=int, default=5)
     p.add_argument("--max-words", type=int, default=5000)
     p.add_argument("--master", default=None, help="override master (else spark-submit decides)")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="reuse stages whose _SPEC.json marker matches the current "
+        "parameters (stage-level restartability; changed stages recompute)",
+    )
     args = p.parse_args(argv)
 
     from otel_tail_sampler_spark.plans.corpus_prep import run_corpus_prep
@@ -44,6 +50,7 @@ def main(argv: list[str] | None = None) -> dict:
         trim_stride=args.trim_stride,
         min_words=args.min_words,
         max_words=args.max_words,
+        resume=args.resume,
     )
     metrics["status"] = "ok"
     print(json.dumps(metrics))

@@ -123,3 +123,64 @@ def test_resume_preserves_prior_buckets_under_static_overwrite(
     )
     assert got_buckets == set(range(N_BUCKETS))
     assert _routed_counts(out) == want
+
+
+def test_corpus_prep_stage_resume(spark, tmp_path):
+    """Stage-level resume of the prep DAG: a resumed run with unchanged
+    parameters reuses both stage artifacts WITHOUT rescanning the source
+    documents (proven by deleting them); changing a downstream parameter
+    recomputes only that stage; stale shard partitions cannot survive a
+    shrunk n_shards."""
+    import shutil
+
+    import duckdb
+
+    from otel_tail_sampler_spark.plans.corpus_prep import run_corpus_prep
+
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    docs = str(tmp_path / "documents.parquet")
+    shutil.copyfile(docs_src, docs)
+    out = str(tmp_path / "prep")
+
+    kw = dict(vocab_size=512, max_len=64, n_shards=6, min_words=5)
+    m1 = run_corpus_prep(spark, docs, out, **kw)
+    assert m1["examples"] > 0
+
+    # source gone: a resumed identical run must succeed purely from the
+    # stage artifacts and report identical metrics
+    (tmp_path / "documents.parquet").unlink()
+    m2 = run_corpus_prep(spark, docs, out, resume=True, **kw)
+    assert m2 == m1
+
+    # downstream-only change (n_shards 6 -> 3): tokenize stays reused
+    # (docs still deleted), shards recompute, and NO stale shard dirs
+    kw3 = dict(kw, n_shards=3)
+    m3 = run_corpus_prep(spark, docs, out, resume=True, **kw3)
+    assert m3["tokens_out"] == m1["tokens_out"]
+    assert m3["examples"] == m1["examples"]  # same packing, new layout
+    got_shards = {
+        r[0]
+        for r in duckdb.sql(
+            f"select distinct shard from parquet_scan('{out}/shards/*/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    }
+    assert got_shards <= set(range(3))
+
+    # upstream change (vocab_size) without the source present must FAIL
+    # loudly rather than serve stale artifacts
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_corpus_prep(spark, docs, out, resume=True, **dict(kw, vocab_size=256))
+
+    # restore the source: the upstream change now recomputes end-to-end
+    shutil.copyfile(docs_src, docs)
+    m4 = run_corpus_prep(spark, docs, out, resume=True, **dict(kw, vocab_size=256))
+    assert m4["docs_in"] == m1["docs_in"]
+    # vocab change leaves counts identical but must rewrite the artifact:
+    # every token id now hashes into [0, 256)
+    hi = duckdb.sql(
+        f"select max(t) from (select unnest(tokens) as t from "
+        f"parquet_scan('{out}/tokenized/*.parquet'))"
+    ).fetchone()[0]
+    assert hi is not None and hi < 256
