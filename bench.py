@@ -202,9 +202,23 @@ def main() -> None:
         q.awaitTermination()
         best = min(best, time.time() - t0)
         shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
     queries["streaming_dedup"] = round(best, 3)
     n_stream_docs = n_docs
+
+    # streaming prep leg (added r4): gate -> tokenize -> stateful dedup ->
+    # parquet sink, same bounded AvailableNow protocol; reuses src_dir
+    from otel_tail_sampler_spark.streaming.prep_stream import run_prep_stream
+
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bench_prep_stream_")
+        t0 = time.time()
+        q = run_prep_stream(spark, src_dir, out_dir, vocab_size=4096)
+        q.awaitTermination()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    queries["streaming_prep"] = round(best, 3)
 
     # both assembly strategies, same bounded input: 'session_window' is the
     # Spark-native scale path (JVM incremental session agg); 'state' mirrors

@@ -306,6 +306,7 @@ def hash_tokenize(
     vocab_size: int = 65536,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic hash tokenizer: words -> int32 ids via md5(word) mod
     ``vocab_size`` (the "hashing trick"). Bridges the documents table to the
@@ -352,6 +353,7 @@ def hash_tokenize(
     n_tok = F.when(empty, F.lit(0)).otherwise(F.size(w)).cast("int")
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         toks.alias("tokens"),
         n_tok.alias("n_tok"),
     )

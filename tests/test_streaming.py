@@ -294,3 +294,64 @@ def test_kafka_value_decode_matches_file_source_schema(spark, small_dataset):
     parsed = parse_spans(decoded, keep_tokens=False)
     assert parsed.filter("NOT parse_ok").count() == 1
     assert parsed.filter("parse_ok").count() == 5
+
+
+def test_prep_stream_end_to_end_with_restart(spark, tmp_path_factory):
+    """Streaming prep leg: gate -> tokenize -> cross-batch dedup ->
+    checkpointed parquet sink. A restart over the same checkpoint
+    processes only NEW files and re-emits nothing; tokens match the
+    batch tokenizer exactly for every emitted doc."""
+    import shutil
+    import time
+
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+    from otel_tail_sampler_spark.streaming.prep_stream import run_prep_stream
+
+    root = tmp_path_factory.mktemp("prep_stream")
+    src = root / "docs_in"
+    out = root / "out"
+    src.mkdir()
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(root / name))
+        for f in (root / name).glob("*.parquet"):
+            shutil.copyfile(f, src / f"{name}.parquet")
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    wave1 = [(i, f"{base} {i}", "en", "src0") for i in range(10)]
+    wave1.append((100, "tiny", "en", "src0"))  # gated: < min_words
+    write_wave("w1", wave1)
+
+    q = run_prep_stream(
+        spark, str(src), str(out), vocab_size=512, min_words=5
+    )
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(f"{out}/tokenized").toPandas()
+    assert sorted(got1["doc_id"]) == list(range(10))  # tiny doc gated
+
+    # wave 2: 5 duplicates of wave-1 texts (new ids) + 3 genuinely new
+    wave2 = [(200 + i, f"{base} {i}", "en", "src1") for i in range(5)]
+    wave2 += [(300 + i, f"{base} new {i}", "en", "src1") for i in range(3)]
+    write_wave("w2", wave2)
+
+    q2 = run_prep_stream(
+        spark, str(src), str(out), vocab_size=512, min_words=5
+    )
+    q2.awaitTermination(120)
+    time.sleep(1)
+    got2 = spark.read.parquet(f"{out}/tokenized").toPandas()
+    # duplicates dropped by cross-batch state; only the 3 new docs added
+    assert sorted(got2["doc_id"]) == list(range(10)) + [300, 301, 302]
+
+    # token parity vs the batch tokenizer for every emitted doc
+    all_docs = spark.createDataFrame(
+        wave1 + wave2, "doc_id long, text string, lang string, source string"
+    )
+    want = {
+        r["doc_id"]: list(r["tokens"])
+        for r in hash_tokenize(all_docs, vocab_size=512).collect()
+    }
+    for _, r in got2.iterrows():
+        assert list(r["tokens"]) == want[r["doc_id"]], r["doc_id"]
