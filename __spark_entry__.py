@@ -1500,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mask_tokens": q_mask_tokens,
         "pmi_collocations": q_pmi_collocations,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -1617,6 +1618,14 @@ def q_pmi_collocations(spark, sf_dir):
         "token", "neighbor", "pair_freq", "freq_a", "freq_b",
         F.round("score", 6).alias("score"), "rank",
     )
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus health rollup (docs, exact-dup rate, word-length
+    distribution incl. exact p50)."""
+    from otel_tail_sampler_spark.operators.corpus import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -3150,6 +3159,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, neighbor, pair_freq, freq_a, freq_b,
                    round(score, 6) AS score, rank::INT AS rank
             FROM r WHERE rank <= 5
+        """,
+        "corpus_report": r"""
+            WITH w AS (
+              SELECT source, md5(text) AS d,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+'))
+                      END)::INT AS nw
+              FROM documents)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   (count(*) - count(DISTINCT d))::BIGINT AS n_dup_docs,
+                   sum(nw)::BIGINT AS total_words,
+                   round(avg(nw), 6) AS mean_words,
+                   round(quantile_cont(nw, 0.5), 4) AS p50_words,
+                   max(nw)::INT AS max_words
+            FROM w GROUP BY source
         """,
     }
 

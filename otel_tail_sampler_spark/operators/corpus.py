@@ -722,3 +722,43 @@ def pmi_collocations(
             "score", "rank",
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus health rollup — the one-page answer to "what is
+    in this crawl": -> (source, n_docs, n_dup_docs, total_words,
+    mean_words, p50_words, max_words). ``n_dup_docs`` counts documents
+    whose exact content digest already appeared within the source.
+
+    Scale shape: one aggregation keyed on the low-cardinality source —
+    safe even for a hot source because aggregation (unlike a window)
+    combines map-side; the distinct-digest count is Spark's standard
+    two-phase expansion shuffling one row per distinct (source, digest).
+    The exact p50 uses percentile(), bit-identical to DuckDB's
+    quantile_cont on integer inputs after round(.,4) — at larger
+    cardinalities swap in percentile_approx exactly as the
+    service-latency pair documents.
+    """
+    from otel_tail_sampler_spark.operators.text import token_count_ws
+
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_d"),
+        token_count_ws(F.col(text_col)).cast("int").alias("_w"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("_d")).alias("n_dup_docs"),
+            F.sum("_w").alias("total_words"),
+            F.round(F.avg("_w"), 6).alias("mean_words"),
+            F.round(F.percentile("_w", F.lit(0.5)), 4).alias("p50_words"),
+            F.max("_w").alias("max_words"),
+        )
+        .orderBy("source")
+    )

@@ -1108,3 +1108,28 @@ def test_pmi_collocations_hand_computed_with_negative_ids(spark):
     # c(2,-7)=2, c(2)=11, c(-7)=3
     assert out[(2, -7)][0] == 2
     assert abs(out[(2, -7)][1] - 2 * 22 / (11 * 3)) < 1e-12
+
+
+def test_corpus_report_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.corpus import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b c", "s1"),      # exact dup of 1 within s1
+            (3, "x y", "s1"),
+            (4, "one two three four", "s2"),
+            (5, "", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in corpus_report(df, source_col="source").collect()
+    }
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_dup_docs"], s1["total_words"]) == (3, 1, 8)
+    assert s1["max_words"] == 3 and s1["p50_words"] == 3.0
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["n_dup_docs"], s2["total_words"]) == (2, 0, 4)
+    assert s2["mean_words"] == 2.0 and s2["p50_words"] == 2.0
