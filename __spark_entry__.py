@@ -3003,7 +3003,8 @@ def oracle_sql() -> dict[str, str]:
             bi AS (
               SELECT doc_id,
                      CASE WHEN len(tokens) >= 2
-                          THEN [tokens[i]::BIGINT * 4294967296 + tokens[i+1]
+                          THEN [tokens[i]::BIGINT * 4294967296
+                                  + (tokens[i+1]::BIGINT & 4294967295)
                                 for i in range(1, len(tokens))]
                           ELSE []::BIGINT[] END AS bg
               FROM tok),
@@ -3121,7 +3122,8 @@ def oracle_sql() -> dict[str, str]:
             bi AS (
               SELECT doc_id,
                      CASE WHEN len(tokens) >= 2
-                          THEN [tokens[i]::BIGINT * 4294967296 + tokens[i+1]
+                          THEN [tokens[i]::BIGINT * 4294967296
+                                  + (tokens[i+1]::BIGINT & 4294967295)
                                 for i in range(1, len(tokens))]
                           ELSE []::BIGINT[] END AS bg
               FROM tok),
@@ -3134,9 +3136,7 @@ def oracle_sql() -> dict[str, str]:
             uni AS (SELECT t, count(*)::BIGINT AS f
                     FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1),
             pairs AS (
-              SELECT ((b - r) // 4294967296
-                      + CASE WHEN r < 2147483648 THEN 0 ELSE 1 END)::BIGINT
-                       AS token,
+              SELECT ((b - r) // 4294967296)::BIGINT AS token,
                      (CASE WHEN r < 2147483648 THEN r
                            ELSE r - 4294967296 END)::BIGINT AS neighbor,
                      freq AS pair_freq

@@ -98,18 +98,12 @@ def mask_tokens(
     rewrite and the count (CollapseProject keeps multiply-referenced
     non-cheap expressions un-inlined, so the per-position md5 runs once).
     """
-    i_key = lambda i: F.md5(  # noqa: E731 — md5(doc_id:i|seed)
-        F.concat(
-            F.col(id_col).cast("string"),
-            F.lit(":"),
-            i.cast("string"),
-            F.lit("|" + seed),
+    def frac(i):  # hash_frac(doc_id:i, seed) = md5(doc_id:i|seed)-fraction
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), i.cast("string")
         )
-    )
-    frac = lambda i: (  # noqa: E731
-        F.conv(F.substring(i_key(i), 1, 8), 16, 10).cast("long")
-        / F.lit(4294967296.0)
-    )
+        return hash_frac(key, seed)
+
     mb = F.transform(F.col(tok_col), lambda x, i: frac(i) < float(rate))
     step = df.withColumn("_mb", mb)
     masked = F.zip_with(

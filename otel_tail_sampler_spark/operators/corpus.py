@@ -423,10 +423,12 @@ def build_bigram_model(
 ) -> DataFrame:
     """Capped adjacent-bigram language model over the corpus:
     -> (bigram bigint, freq bigint), the ``model_size`` most frequent
-    adjacent token pairs, packed as t1 * 2^32 + t2 — injective over the
-    FULL int32 token range including negatives (|packed| < 2^63; the
-    same signed arithmetic in Spark SQL, numpy int64, and DuckDB BIGINT),
-    with pmi_collocations carrying the sign-correct decode.
+    adjacent token pairs, packed as t1 * 2^32 + (t2 & 0xFFFFFFFF) —
+    signed high word, unsigned low word: injective AND overflow-free
+    over the FULL int32 token range including negatives (packed spans
+    exactly [-2^63, 2^63 - 1]; identical arithmetic in Spark SQL, numpy
+    int64, and DuckDB BIGINT — see the in-body note on why a plain or
+    shifted add is NOT safe), with pmi_collocations carrying the decode.
     Deterministic cap tie-break (freq DESC, bigram ASC) keeps the model
     identical across engines and reruns.
 
@@ -446,12 +448,20 @@ def build_bigram_model(
     """
     t = F.col(tok_col)
     n = F.size(tok_col)
+    # packing: t1 * 2^32 + (t2 & 0xFFFFFFFF) — signed high word, UNSIGNED
+    # low word. The unshifted t1*2^32 + t2 overflows at t1 = INT32_MIN
+    # with t2 < 0 (ANSI Spark raises where numpy wraps: engines diverge),
+    # and a "+ 2^31" low-word shift is unsafe too — Catalyst REASSOCIATES
+    # the constant add into (t1*2^32 + t2) + 2^31, overflowing the same
+    # way. bitwiseAND gives Catalyst nothing to reassociate and bounds
+    # the packed value at exactly [-2^63, 2^63 - 1] for all int32 pairs.
     pairs = F.when(
         n >= 2,
         F.zip_with(
             F.slice(t, 1, n - 1),
             F.slice(t, 2, n - 1),
-            lambda a, b: a.cast("bigint") * F.lit(4294967296) + b.cast("bigint"),
+            lambda a, b: a.cast("bigint") * F.lit(4294967296)
+            + b.cast("bigint").bitwiseAND(F.lit(4294967295)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return (
@@ -522,7 +532,7 @@ def score_bigram_novelty(
             total = int(lens.sum())
             if total >= 2 and vb.size:
                 flat = np.concatenate([a for a in arrs if a.size])
-                pairs = flat[:-1] * K + flat[1:]
+                pairs = flat[:-1] * K + (flat[1:] & np.int64(4294967295))
                 idx = np.searchsorted(vb, pairs)
                 idx[idx == vb.size] = 0
                 hit = vb[idx] == pairs
@@ -622,7 +632,9 @@ def stratified_sample(
     first — a row ranked > quota inside any salt bucket is provably
     outside the group's global top-quota — then exact-rank the
     <= quota * salt_buckets survivors. No single task ever holds a whole
-    hot group; both windows share one exchange.
+    hot group: the salted exchange spreads it, and the second exchange
+    (on the bare group key, as the captured plan in PLANS.md shows)
+    moves only the quota-bounded survivors.
     """
     from pyspark.sql import Window
 
@@ -674,21 +686,17 @@ def pmi_collocations(
     n_total = df.select(
         F.sum(F.greatest(F.size(tok_col) - 1, F.lit(0))).alias("n")
     ).collect()[0]["n"] or 0
-    # sign-correct decode of the t1*2^32 + t2 packing (injective for the
-    # FULL int32 token range, negatives included): pmod gives the
-    # canonical non-negative low word in both engines; a low word >= 2^31
-    # means t2 was negative (and borrowed from the high word).
+    # decode of the t1*2^32 + (t2 & 0xFFFFFFFF) packing (see
+    # build_bigram_model for why that form): pmod yields the unsigned low
+    # word in [0, 2^32) in both engines — >= 2^31 means t2 was negative —
+    # and the high word divides out exactly, no borrow. The planted
+    # negative-id unit test pins this: a symmetric decode bug matches the
+    # DuckDB oracle symmetrically.
     r = F.pmod(F.col("bigram"), F.lit(4294967296))
     neighbor = F.when(r < F.lit(2147483648), r).otherwise(
         r - F.lit(4294967296)
     )
-    # a low word >= 2^31 means t2 was negative and borrowed from the high
-    # word during packing — add the borrow back (caught by the planted
-    # negative-id unit test; the DuckDB oracle alone could not catch it
-    # because a symmetric decode bug matches symmetrically)
-    token = ((F.col("bigram") - r) / F.lit(4294967296)).cast("long") + F.when(
-        r < F.lit(2147483648), F.lit(0)
-    ).otherwise(F.lit(1))
+    token = ((F.col("bigram") - r) / F.lit(4294967296)).cast("long")
     pairs = (
         bm.filter(F.col("freq") >= int(min_count))
         .select(

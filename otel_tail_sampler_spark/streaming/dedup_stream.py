@@ -38,24 +38,46 @@ def dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     ttl_minutes: int | None = None,
+    digest_col: str | None = None,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """First-wins streaming dedup -> (digest, doc_id, dup_count): one row
-    per NEW digest, emitted in the micro-batch where it first appears.
-    dup_count counts same-batch duplicates folded into that emission.
+    """First-wins streaming dedup -> (digest, doc_id, *payload_cols,
+    dup_count): one row per NEW digest, emitted in the micro-batch where
+    it first appears. dup_count counts same-batch duplicates folded into
+    that emission.
 
     The id keeps its ORIGINAL type end-to-end (schemas are derived from
     the input), so the same-batch min-id election orders exactly like the
     batch operator's F.min — stringifying ids first would elect "10"
-    before "2" and silently diverge from exact_dedup's representative."""
+    before "2" and silently diverge from exact_dedup's representative.
+
+    ``digest_col`` names a PRECOMPUTED digest column to key on instead of
+    md5(text_col) — for inputs whose raw text was already projected away
+    (the streaming prep leg keys on the digest it took before
+    tokenizing). ``payload_cols`` ride the ELECTED row through to the
+    output (state still holds only first_id — payload never enters the
+    state store). There is exactly ONE copy of this first-wins/TTL state
+    machine; wrappers parameterize it rather than re-implement it."""
     import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    out_schema = f"digest string, doc_id {id_type}, dup_count int"
+    ptypes = {
+        c: docs.schema[c].dataType.simpleString() for c in payload_cols
+    }
+    out_schema = ", ".join(
+        [f"digest string, doc_id {id_type}"]
+        + [f"{c} {ptypes[c]}" for c in payload_cols]
+        + ["dup_count int"]
+    )
     state_schema = f"first_id {id_type}"
 
+    digest = (
+        F.col(digest_col) if digest_col else F.md5(F.col(text_col))
+    )
     keyed = docs.select(
-        F.md5(F.col(text_col)).alias("_digest"),
+        digest.alias("_digest"),
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in payload_cols],
     )
 
     def fn(key, pdfs, state):
@@ -63,22 +85,33 @@ def dedup_stream(
             state.remove()
             return
 
-        ids: list[str] = []
+        rows: list[tuple] = []
         for pdf in pdfs:
-            ids.extend(pdf["_id"])
+            rows.extend(
+                zip(pdf["_id"], *[pdf[c] for c in payload_cols])
+            )
         emit = None
         if state.exists:
             pass  # duplicate of a known digest: drop; no state churn
-        elif ids:
+        elif rows:
             # same-batch ties -> min id in the column's NATIVE ordering
-            # (numeric ids compare numerically, exactly like batch F.min)
-            first = min(ids)
-            if hasattr(first, "item"):  # numpy scalar -> python for state
-                first = first.item()
-            state.update((first,))
+            # (numeric ids compare numerically, exactly like batch F.min);
+            # key on the id alone — comparing whole tuples would fall
+            # through to unorderable payload values on an id tie
+            first = min(rows, key=lambda r: r[0])
+            fid = first[0]
+            if hasattr(fid, "item"):  # numpy scalar -> python for state
+                fid = fid.item()
+            state.update((fid,))
             emit = pd.DataFrame(
-                [{"digest": str(key[0]), "doc_id": first,
-                  "dup_count": len(ids) - 1}]
+                [
+                    {
+                        "digest": str(key[0]),
+                        "doc_id": fid,
+                        **dict(zip(payload_cols, first[1:])),
+                        "dup_count": len(rows) - 1,
+                    }
+                ]
             )
         if ttl_minutes is not None:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)

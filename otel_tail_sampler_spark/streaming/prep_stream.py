@@ -54,10 +54,16 @@ def _quality_gate(
     )
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
-    dup_frac = F.when(
-        n_words > 0,
-        (n_words - n_distinct).cast("double") / n_words.cast("double"),
-    ).otherwise(F.lit(0.0))
+    # rounded to 6dp like repetition_signals' dup_word_frac — the batch
+    # prepare_corpus gate compares the ROUNDED value, so comparing raw
+    # here would flip keep/drop for docs sitting exactly at the threshold
+    dup_frac = F.round(
+        F.when(
+            n_words > 0,
+            (n_words - n_distinct).cast("double") / n_words.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     return docs.filter(
         (n_words >= int(min_words))
         & (n_words <= int(max_words))
@@ -73,18 +79,17 @@ def tokenize_dedup_stream(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenized, cross-batch-deduplicated document stream:
-    -> (doc_id, source, tokens array<int>, n_tok int, dup_count int),
-    one row per FIRST ARRIVAL of each content digest.
+    -> (digest, doc_id, source, tokens array<int>, n_tok int,
+    dup_count int), one row per FIRST ARRIVAL of each content digest.
 
-    Same state contract as dedup_stream (one ``first_id`` row per
-    distinct digest, ``ttl_minutes`` arms the SETEX-style expiry), but
-    the emitted row carries the tokenized payload so the sink lands the
-    input_hint tokenized shape directly. Tokens never enter the state
-    store — state stays O(distinct digests), not O(corpus bytes).
+    A thin wrapper over dedup_stream — the ONE first-wins/TTL state
+    machine — keyed on the digest taken BEFORE tokenizing (the raw text
+    is projected away by the tokenizer), with the tokenized payload
+    riding the elected row via ``payload_cols``. Tokens never enter the
+    state store — state stays O(distinct digests), not O(corpus bytes).
     """
-    import pandas as pd
-
     from otel_tail_sampler_spark.operators.text import hash_tokenize
+    from otel_tail_sampler_spark.streaming.dedup_stream import dedup_stream
 
     with_digest = docs.withColumn("_digest", F.md5(F.col(text_col)))
     toks = hash_tokenize(
@@ -94,61 +99,12 @@ def tokenize_dedup_stream(
         id_col=id_col,
         keep_cols=("source", "_digest"),
     )
-    id_type = docs.schema[id_col].dataType.simpleString()
-    keyed = toks.select(
-        F.col("_digest"),
-        F.col(id_col).alias("_id"),
-        F.col("source").alias("_source"),
-        F.col("tokens").alias("_tokens"),
-        F.col("n_tok").alias("_n_tok"),
-    )
-    out_schema = (
-        f"doc_id {id_type}, source string, tokens array<int>, "
-        "n_tok int, dup_count int"
-    )
-    state_schema = f"first_id {id_type}"
-
-    def fn(key, pdfs, state):
-        if state.hasTimedOut:
-            state.remove()
-            return
-        rows: list[tuple] = []
-        for pdf in pdfs:
-            rows.extend(
-                zip(pdf["_id"], pdf["_source"], pdf["_tokens"], pdf["_n_tok"])
-            )
-        emit = None
-        if state.exists:
-            pass  # later arrival of a known digest: drop
-        elif rows:
-            rows.sort(key=lambda r: r[0])  # same-batch ties -> min id
-            first = rows[0]
-            fid = first[0].item() if hasattr(first[0], "item") else first[0]
-            state.update((fid,))
-            emit = pd.DataFrame(
-                [
-                    {
-                        "doc_id": fid,
-                        "source": first[1],
-                        "tokens": first[2],
-                        "n_tok": int(first[3]),
-                        "dup_count": len(rows) - 1,
-                    }
-                ]
-            )
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        if emit is not None:
-            yield emit
-
-    return keyed.groupBy("_digest").applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=(
-            "ProcessingTimeTimeout" if ttl_minutes is not None else "NoTimeout"
-        ),
+    return dedup_stream(
+        toks,
+        id_col=id_col,
+        ttl_minutes=ttl_minutes,
+        digest_col="_digest",
+        payload_cols=("source", "tokens", "n_tok"),
     )
 
 

@@ -881,6 +881,8 @@ def test_bigram_model_counts_and_cap_tiebreak(spark):
         r["bigram"]: r["freq"]
         for r in build_bigram_model(df, model_size=100).collect()
     }
+    # low word is the UNSIGNED reinterpretation (overflow-free packing);
+    # for non-negative tokens it equals the raw value
     b12 = 1 * 4294967296 + 2
     b23 = 2 * 4294967296 + 3
     b99 = 9 * 4294967296 + 9
@@ -913,7 +915,8 @@ def test_score_bigram_novelty_scalar_reference(spark):
     }
     for doc_id, toks in rows:
         pairs = [
-            toks[i] * 4294967296 + toks[i + 1] for i in range(len(toks) - 1)
+            toks[i] * 4294967296 + (toks[i + 1] & 0xFFFFFFFF)
+            for i in range(len(toks) - 1)
         ]
         exp = (
             len(pairs),
@@ -1133,3 +1136,33 @@ def test_corpus_report_hand_computed(spark):
     s2 = got["s2"]
     assert (s2["n_docs"], s2["n_dup_docs"], s2["total_words"]) == (2, 0, 4)
     assert s2["mean_words"] == 2.0 and s2["p50_words"] == 2.0
+
+
+def test_bigram_packing_survives_int32_min(spark):
+    """INT32_MIN followed by a negative token overflowed the unshifted
+    t1*2^32+t2 packing (ANSI Spark raised, numpy wrapped — engines
+    diverged); the shifted low word keeps every int32 pair in int64."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        pmi_collocations,
+        score_bigram_novelty,
+    )
+
+    lo = -2147483648
+    df = spark.createDataFrame(
+        [("a", [lo, -5, lo, -5, lo]), ("b", [lo, -5])],
+        "doc_id string, tokens array<int>",
+    )
+    m = build_bigram_model(df, model_size=10)
+    got = {r["bigram"]: r["freq"] for r in m.collect()}
+    assert got[lo * 4294967296 + (-5 & 0xFFFFFFFF)] == 3
+    sc = {
+        r["doc_id"]: (r["n_bigrams"], r["n_unseen"])
+        for r in score_bigram_novelty(df, m).collect()
+    }
+    assert sc["a"] == (4, 0) and sc["b"] == (1, 0)
+    pmi = {
+        (r["token"], r["neighbor"]): r["pair_freq"]
+        for r in pmi_collocations(df, top_k=3, min_count=1).collect()
+    }
+    assert pmi[(lo, -5)] == 3 and pmi[(-5, lo)] == 2
