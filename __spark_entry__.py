@@ -1501,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_tokens": q_mask_tokens,
         "pmi_collocations": q_pmi_collocations,
         "corpus_report": q_corpus_report,
+        "dedup_representatives": q_dedup_representatives,
     }
 
 
@@ -1626,6 +1627,28 @@ def q_corpus_report(spark, sf_dir):
     from otel_tail_sampler_spark.operators.corpus import corpus_report
 
     return corpus_report(_docs(spark, sf_dir))
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """Keep-the-longest election per near-dup cluster: LSH components +
+    word-count metric, argmax(metric, tie min id) as a map-combinable
+    aggregation (no window over the cluster)."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+        pick_dedup_representatives,
+    )
+    from otel_tail_sampler_spark.operators.text import token_count_ws
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=6).select(
+        "id_a", "id_b"
+    )
+    comps = dedup_components(pairs, all_ids=docs)
+    metrics = docs.select(
+        "doc_id", token_count_ws(F.col("text")).cast("int").alias("n_words")
+    )
+    return pick_dedup_representatives(comps, metrics)
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -3177,6 +3200,28 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY source
         """,
     }
+
+    # representative election composes on the LITERAL components oracle
+    # (same embed-as-derived-table device as the rollups below)
+    o["dedup_representatives"] = f"""
+        WITH base AS (
+          SELECT c.component_id, c.doc_id, w.nw
+          FROM ({o["dedup_components"]}) c
+          JOIN (SELECT doc_id,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END)::INT AS nw
+                FROM documents) w USING (doc_id)
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY component_id
+                     ORDER BY nw DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY component_id) AS nm
+          FROM base)
+        SELECT component_id, doc_id AS keep_doc_id, nw AS keep_n_words,
+               nm::BIGINT AS n_members
+        FROM r WHERE rn = 1
+    """
 
     # composite rollups: each leg is the LITERAL standalone oracle embedded
     # as a subquery (DuckDB allows WITH inside a derived table), tagged and

@@ -746,3 +746,45 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def pick_dedup_representatives(
+    components: DataFrame,
+    metrics: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+    metric_col: str = "n_words",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster election: per component, KEEP the
+    member with the highest ``metric_col`` (ties -> min id) instead of
+    the min-id default — the "keep the longest/best copy" policy most
+    prep pipelines want once near-dup clusters exist.
+    -> (component_id, keep_doc_id, keep_<metric>, n_members).
+
+    Prefer an integer metric (word/token counts): exact across engines,
+    so the election is oracle-checkable; a float score works but must be
+    rounded identically on both sides before ranking.
+
+    Scale shape: one equi-join (components are slim (id, component)
+    pairs) and one map-combinable min(struct(-metric, id)) aggregation —
+    a corpus-wide boilerplate cluster with millions of members combines
+    partially on every task, unlike a row_number window over the
+    component, which would serialize the hot cluster through one task.
+    """
+    j = components.join(
+        metrics.select(F.col(id_col), F.col(metric_col)), id_col
+    )
+    agg = j.groupBy(comp_col).agg(
+        F.min(
+            F.struct(
+                (-F.col(metric_col)).alias("nm"), F.col(id_col).alias("id")
+            )
+        ).alias("_m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        comp_col,
+        F.col("_m.id").alias("keep_doc_id"),
+        (-F.col("_m.nm")).cast("int").alias(f"keep_{metric_col}"),
+        "n_members",
+    )

@@ -1166,3 +1166,25 @@ def test_bigram_packing_survives_int32_min(spark):
         for r in pmi_collocations(df, top_k=3, min_count=1).collect()
     }
     assert pmi[(lo, -5)] == 3 and pmi[(-5, lo)] == 2
+
+
+def test_pick_dedup_representatives_longest_wins(spark):
+    from otel_tail_sampler_spark.operators.dedup import (
+        pick_dedup_representatives,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 10)],
+        "doc_id long, component_id long",
+    )
+    metrics = spark.createDataFrame(
+        [(1, 5), (2, 11), (3, 11), (9, 2), (10, 7)],
+        "doc_id long, n_words int",
+    )
+    got = {
+        r["component_id"]: (r["keep_doc_id"], r["keep_n_words"], r["n_members"])
+        for r in pick_dedup_representatives(comps, metrics).collect()
+    }
+    # longest wins; 11-word tie between docs 2 and 3 -> min id (2)
+    assert got[1] == (2, 11, 3)
+    assert got[9] == (9, 2, 1) and got[10] == (10, 7, 1)
