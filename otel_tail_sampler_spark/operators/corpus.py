@@ -664,8 +664,9 @@ def pmi_collocations(
 ) -> DataFrame:
     """Top-``top_k`` right-hand collocates per token, ranked by the exact
     PMI-proportional ratio score = c(a,b) * N / (c(a) * c(b)) with N the
-    corpus bigram total — log is monotonic, so ranking by the ratio IS
-    ranking by PMI, computed without transcendentals (engine-exact; see
+    corpus bigram total (pointwise mutual information, Church & Hanks
+    1990) — log is monotonic, so ranking by the ratio IS ranking by PMI,
+    computed without transcendentals (engine-exact; see
     build_bigram_model). Pairs rarer than ``min_count`` are dropped first
     (PMI's classic low-count blowup). ->
     (token, neighbor, pair_freq, freq_a, freq_b, score, rank).

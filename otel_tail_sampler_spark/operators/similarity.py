@@ -305,7 +305,8 @@ def quantize_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-vector symmetric int8 quantization:
+    """Per-vector symmetric int8 quantization (the standard linear
+    scheme, cf. Jacob et al. 2018):
     -> (id, qvec array<int> in [-127, 127], scale double) with
     scale = max(|v|) / 127 and q_i = round(v_i / scale) (HALF_UP — Spark
     and DuckDB agree); an all-zero or empty vector gets scale 0.0 and an

@@ -120,3 +120,71 @@ def test_build_vocab_encode_matches_reference(spark, corpus, vocab_size):
     }
     want = _ref_encode(corpus, vocab_size, -1)
     assert got == {i: w for i, w in enumerate(want)}
+
+
+def _ref_chunks(toks: list[int], max_len: int, stride: int):
+    if not toks:
+        return []
+    out, k = [], 0
+    last = -((-max(len(toks) - max_len, 0)) // stride)  # ceil div
+    for k in range(last + 1):
+        out.append(toks[k * stride : k * stride + max_len])
+    return out
+
+
+@pytest.mark.slow
+@given(
+    CORPUS,
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunk_documents_matches_reference(spark, corpus, max_len, stride):
+    """chunk_documents == the obvious scalar slicer for every
+    (max_len, stride), including stride > max_len (gaps are legal) and
+    short/empty docs."""
+    from otel_tail_sampler_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(str(i), d) for i, d in enumerate(corpus)],
+        "doc_id string, tokens array<int>",
+    )
+    got: dict = {}
+    for r in chunk_documents(df, max_len=max_len, stride=stride).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = list(r["tokens"])
+    for i, d in enumerate(corpus):
+        want = _ref_chunks(d, max_len, stride)
+        mine = got.get(str(i), {})
+        assert len(mine) == len(want), (i, d)
+        for k, w in enumerate(want):
+            assert mine[k] == w, (i, k)
+
+
+@pytest.mark.slow
+@given(CORPUS, st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=8, deadline=None)
+def test_fim_reconstruction_property(spark, corpus, rate):
+    """For ANY corpus and rate: an applied row is exactly
+    [PRE] p [SUF] s [MID] m with p+m+s == original; an unapplied row is
+    untouched; empty/short docs are never applied."""
+    from otel_tail_sampler_spark.operators.augment import fim_transform
+
+    df = spark.createDataFrame(
+        [(str(i), d) for i, d in enumerate(corpus)],
+        "doc_id string, tokens array<int>",
+    )
+    out = fim_transform(
+        df, pre_id=-101, mid_id=-102, suf_id=-103, rate=rate, min_len=2
+    ).collect()
+    orig = {str(i): d for i, d in enumerate(corpus)}
+    for r in out:
+        toks = list(r["tokens"])
+        o = orig[r["doc_id"]]
+        if not r["fim_applied"]:
+            assert toks == o
+            assert len(o) < 2 or rate == 0.0 or True  # selection is hash-based
+            continue
+        assert len(o) >= 2 and toks[0] == -101
+        i_suf, i_mid = toks.index(-103), toks.index(-102)
+        p, s, m = toks[1:i_suf], toks[i_suf + 1 : i_mid], toks[i_mid + 1 :]
+        assert p + m + s == o
