@@ -1502,6 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "corpus_report": q_corpus_report,
         "dedup_representatives": q_dedup_representatives,
+        # rows-only by nature: greedy first-fit is a per-bucket recurrence
+        # no SQL can express; scalar-reference pytest carries correctness
+        "pack_documents_greedy": q_pack_documents_greedy,
     }
 
 
@@ -1649,6 +1652,22 @@ def q_dedup_representatives(spark, sf_dir):
         "doc_id", token_count_ws(F.col("text")).cast("int").alias("n_words")
     )
     return pick_dedup_representatives(comps, metrics)
+
+
+def q_pack_documents_greedy(spark, sf_dir):
+    """Doc-boundary-preserving greedy packing (whole docs per example,
+    first-fit per hash bucket). Recurrence semantics — no SQL oracle by
+    nature; the scalar-reference + partition-independence pytest carries
+    correctness and the driver records rows-only."""
+    from otel_tail_sampler_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    out = pack_documents_greedy(tok, max_len=256)
+    return out.select(
+        "example_id", _tokens_md5().alias("tokens_md5"), "n_tok", "n_docs"
+    )
 
 
 def q_lsh_topk_approx(spark, sf_dir):

@@ -298,3 +298,102 @@ def add_special_tokens(
     parts.append(F.col(tok_col))
     parts.append(F.array(F.lit(int(eos_id))))
     return df.withColumn(tok_col, F.concat(*parts).cast("array<int>"))
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    max_len: int = 512,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Doc-boundary-preserving packing: the OTHER standard layout next to
+    pack_sequences' concatenate-and-cut — examples contain only WHOLE
+    documents, greedily first-fit in id order, so no document ever
+    straddles an example (a doc longer than ``max_len`` is truncated and
+    gets its own example). -> (example_id long, tokens, n_tok, n_docs);
+    examples are <= max_len and under-full by whatever tail the greedy
+    pass could not fit (the price of boundary preservation).
+
+    Semantics are a per-bucket RECURRENCE (an example closes when the
+    next doc would overflow), which no prefix-sum can express — hence
+    applyInPandas per deterministic hash bucket rather than pure
+    expressions, and a scalar-reference pytest rather than a SQL oracle
+    (the driver records the weaker rows-only check for this query).
+    Determinism: bucket = md5-hash of the id (pure function — identical
+    for any partition count), docs packed in id order within the bucket,
+    example_id = bucket * 2^40 + ordinal. Unlike pack_sequences the
+    buckets need NO global order — boundary preservation is local — so
+    no boundary sample and no offsets pass.
+
+    Scale shape: one shuffle on the bucket id; each task holds one
+    bucket's documents in pandas, so pick ``n_buckets`` ~ corpus_tokens /
+    (executor-memory-sized slice) — buckets are uniform by construction
+    (md5), so no bucket is hot.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from otel_tail_sampler_spark.functions.hashing import portable_hash64
+
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), "packdoc"),
+        F.lit(int(n_buckets)),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tok_col).alias("_t"),
+        bucket.alias("_pid"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_id")
+        pid = int(pdf["_pid"].iloc[0])
+        ex_ids: list[int] = []
+        ex_toks: list = []
+        ex_docs: list[int] = []
+        cur: list = []
+        cur_len = cur_docs = 0
+
+        def flush() -> None:
+            nonlocal cur, cur_len, cur_docs
+            if cur_docs:
+                ex_ids.append(pid * (1 << 40) + len(ex_ids))
+                ex_toks.append(
+                    np.concatenate(cur)
+                    if cur_len
+                    else np.array([], np.int32)
+                )
+                ex_docs.append(cur_docs)
+            cur, cur_len, cur_docs = [], 0, 0
+
+        for toks in pdf["_t"]:
+            a = np.asarray(toks, np.int32)[: int(max_len)]
+            if cur_docs and cur_len + a.size > max_len:
+                flush()
+            cur.append(a)
+            cur_len += int(a.size)
+            cur_docs += 1
+        flush()
+        if not ex_ids:  # empty bucket frame -> typed empty output
+            return pd.DataFrame(
+                {"example_id": pd.Series([], dtype="int64"),
+                 "tokens": pd.Series([], dtype="object"),
+                 "n_tok": pd.Series([], dtype="int32"),
+                 "n_docs": pd.Series([], dtype="int32")}
+            )
+        return pd.DataFrame(
+            {
+                "example_id": ex_ids,
+                "tokens": ex_toks,
+                "n_tok": np.asarray([len(x) for x in ex_toks], np.int32),
+                "n_docs": np.asarray(ex_docs, np.int32),
+            }
+        )
+
+    return base.groupBy("_pid").applyInPandas(
+        pack, "example_id long, tokens array<int>, n_tok int, n_docs int"
+    )

@@ -234,3 +234,68 @@ def test_add_special_tokens_wraps_and_packs(spark):
     flat = [t for toks in packed["tokens"] for t in toks]
     assert flat == [-101, 5, 6, -100, -101, -100, -101, 7, -100]
     assert list(packed["n_tok"]) == [4, 4, 1]
+
+
+def test_pack_documents_greedy_scalar_reference_and_invariants(spark):
+    """Greedy no-split packing == the obvious scalar first-fit per
+    bucket; every example <= max_len; every doc lands WHOLE (or
+    truncated at max_len) in exactly one example; output identical
+    across input partition counts."""
+    import hashlib
+
+    import numpy as np
+
+    from otel_tail_sampler_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"d{i:03d}", [int(x) for x in rng.integers(0, 99, rng.integers(0, 23))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    max_len, n_buckets = 16, 4
+
+    def bucket_of(doc_id: str) -> int:
+        h = int(hashlib.md5(f"{doc_id}|packdoc".encode()).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    # scalar reference
+    want: dict[int, tuple] = {}
+    by_bucket: dict[int, list] = {}
+    for doc_id, toks in rows:
+        by_bucket.setdefault(bucket_of(doc_id), []).append((doc_id, toks))
+    for pid, docs in by_bucket.items():
+        docs.sort()
+        cur, cur_docs, k = [], 0, 0
+        def flush(pid=pid):
+            nonlocal cur, cur_docs, k
+            if cur_docs:
+                want[pid * (1 << 40) + k] = (list(cur), cur_docs)
+                k += 1
+            cur, cur_docs = [], 0
+        for _, toks in docs:
+            a = toks[:max_len]
+            if cur_docs and len(cur) + len(a) > max_len:
+                flush()
+            cur = cur + a
+            cur_docs += 1
+        flush()
+
+    for parts in (1, 7):
+        got = {
+            r["example_id"]: (list(r["tokens"]), r["n_docs"])
+            for r in pack_documents_greedy(
+                df.repartition(parts), max_len=max_len, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, parts
+    assert all(len(t) <= max_len for t, _ in want.values())
+    # doc preservation: multiset of tokens equals the truncated corpus
+    from collections import Counter
+    corpus_tokens = Counter(
+        t for _, toks in rows for t in toks[:max_len]
+    )
+    packed_tokens = Counter(t for toks, _ in want.values() for t in toks)
+    assert packed_tokens == corpus_tokens
