@@ -1188,3 +1188,21 @@ def test_pick_dedup_representatives_longest_wins(spark):
     # longest wins; 11-word tie between docs 2 and 3 -> min id (2)
     assert got[1] == (2, 11, 3)
     assert got[9] == (9, 2, 1) and got[10] == (10, 7, 1)
+
+
+def test_mask_tokens_fast_path_contract(spark):
+    """fast=True (xxhash64) keeps the contract: deterministic reruns,
+    seed-epoch independence, ~rate density, n_masked consistent."""
+    from otel_tail_sampler_spark.operators.augment import mask_tokens
+
+    rows = [(f"d{i}", list(range(100, 160))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    a = mask_tokens(df, mask_id=-9, rate=0.15, fast=True).toPandas()
+    b = mask_tokens(df, mask_id=-9, rate=0.15, fast=True).toPandas()
+    assert list(map(list, a["tokens"])) == list(map(list, b["tokens"]))
+    other = mask_tokens(df, mask_id=-9, rate=0.15, seed="e2", fast=True).toPandas()
+    assert list(map(list, other["tokens"])) != list(map(list, a["tokens"]))
+    masked = int(a["n_masked"].sum())
+    assert 120 <= masked <= 240  # 1200 positions at 15%
+    for _, r in a.iterrows():
+        assert sum(1 for t in r["tokens"] if t == -9) == r["n_masked"]
