@@ -250,6 +250,20 @@ def main() -> None:
             query_id="query_id",
         ),
     )
+    from otel_tail_sampler_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    section(
+        "Greedy no-split packing",
+        "What to check: ONE exchange (the deterministic md5 bucket id)\n"
+        "feeding ONE FlatMapGroupsInPandas — the close-on-overflow\n"
+        "recurrence is inherently sequential per bucket, so the Python\n"
+        "stage is the design, not a regression; buckets are md5-uniform\n"
+        "(no hot task) and sized by n_buckets to fit executor memory.",
+        pack_documents_greedy(tokdf, max_len=256, n_buckets=8),
+    )
+
     section(
         "Stratified per-group quota sample",
         "What to check: the exchange below the exact per-group window\n"
