@@ -46,12 +46,18 @@ TOKENIZED_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 def read_tokenized(spark: SparkSession, path: str) -> DataFrame:
     """Bounded source scan (S1/S4). Parquet dirs are the native bronze;
-    ``.jsonl``/``.json`` loads JSON-lines interchange dumps with the schema
-    ENFORCED (never inferred — inference would scan the data twice and
-    silently widen int32 tokens to long); anything else is treated as an
-    Iceberg table identifier (format('iceberg'), feature-gated)."""
+    ``.orc`` reads the ORC columnar format (bundled reader — same
+    vectorized scan + predicate pushdown class as parquet); ``.jsonl``/
+    ``.json`` loads JSON-lines interchange dumps with the schema ENFORCED
+    (never inferred — inference would scan the data twice and silently
+    widen int32 tokens to long); anything else is treated as an Iceberg
+    table identifier (format('iceberg'), feature-gated). Avro is NOT
+    accepted: the spark-avro datasource module is absent from this
+    distribution (same gate class as Iceberg/Kafka; probed 2026-08-17)."""
     if path.endswith((".jsonl", ".json")):
         return spark.read.schema(TOKENIZED_DDL).json(path)
+    if path.endswith(".orc"):
+        return spark.read.orc(path)
     if path.endswith(".parquet") or os.path.isdir(path):
         return spark.read.parquet(path)
     return spark.read.format("iceberg").load(path)

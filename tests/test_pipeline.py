@@ -289,3 +289,19 @@ def test_jsonl_source_matches_parquet(spark, small_dataset, tmp_path):
     assert (
         b.spans.schema["tokens"].dataType.simpleString() == "array<int>"
     ), "schema must be enforced int32, not inferred long"
+
+
+def test_orc_source_matches_parquet(spark, small_dataset, tmp_path):
+    """ORC bronze: identical decisions to the parquet source for the same
+    rows (bundled native reader — no external module, unlike Avro)."""
+    orc = str(tmp_path / "bronze.orc")
+    spark.read.parquet(small_dataset["tokenized"]).write.mode(
+        "overwrite"
+    ).orc(orc)
+
+    a = run_pipeline(spark, small_dataset["tokenized"], CFG)
+    b = run_pipeline(spark, orc, CFG)
+    da = {(r["trace_id"], r["decision"]) for r in a.decided.collect()}
+    db = {(r["trace_id"], r["decision"]) for r in b.decided.collect()}
+    assert da == db
+    assert b.spans.schema["tokens"].dataType.simpleString() == "array<int>"
