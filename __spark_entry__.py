@@ -3237,7 +3237,7 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY nw DESC, doc_id ASC) AS rn,
                  count(*) OVER (PARTITION BY component_id) AS nm
           FROM base)
-        SELECT component_id, doc_id AS keep_doc_id, nw AS keep_n_words,
+        SELECT component_id, doc_id AS keep_doc_id, nw::BIGINT AS keep_n_words,
                nm::BIGINT AS n_members
         FROM r WHERE rn = 1
     """

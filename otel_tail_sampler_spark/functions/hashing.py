@@ -44,10 +44,16 @@ def hash_frac_py(key: str, seed: str) -> float:
     return int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:8], 16) / TWO_32
 
 
-def fast_frac(key: Column | str, seed: str) -> Column:
+def fast_frac(key: Column | str, seed: str, *more: Column) -> Column:
+    """``more`` appends extra native-value key columns (e.g. a position
+    index) into the one xxhash64 call — the multi-key form mask_tokens'
+    per-position fast path uses; with no extras the expression is
+    unchanged."""
     key = F.col(key) if isinstance(key, str) else key
     return (
-        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(1_000_000)).cast("double")
+        F.pmod(
+            F.xxhash64(key, *more, F.lit(seed)), F.lit(1_000_000)
+        ).cast("double")
         / F.lit(1_000_000.0)
     )
 

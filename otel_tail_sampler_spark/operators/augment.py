@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from otel_tail_sampler_spark.functions.hashing import hash_frac
+from otel_tail_sampler_spark.functions.hashing import fast_frac, hash_frac
 
 
 def fim_transform(
@@ -107,14 +107,8 @@ def mask_tokens(
     oracle-compared. Same determinism and per-seed epochs either way.
     """
     def frac(i):
-        if fast:  # fast_frac's scheme: xxhash64 over native values
-            return (
-                F.pmod(
-                    F.xxhash64(F.col(id_col), i, F.lit(seed)),
-                    F.lit(1_000_000),
-                ).cast("double")
-                / F.lit(1_000_000.0)
-            )
+        if fast:  # multi-key fast_frac: xxhash64 over native values
+            return fast_frac(F.col(id_col), seed, i)
         # hash_frac(doc_id:i, seed) = md5(doc_id:i|seed)-fraction
         key = F.concat(
             F.col(id_col).cast("string"), F.lit(":"), i.cast("string")

@@ -763,7 +763,10 @@ def pick_dedup_representatives(
 
     Prefer an integer metric (word/token counts): exact across engines,
     so the election is oracle-checkable; a float score works but must be
-    rounded identically on both sides before ranking.
+    rounded identically on both sides before ranking. NULL metrics rank
+    LAST (SQL NULLS LAST semantics — Spark's struct-min would otherwise
+    rank them first); a cluster with only null metrics keeps its min id
+    with a NULL keep value. ``keep_<metric>`` is emitted as long.
 
     Scale shape: one equi-join (components are slim (id, component)
     pairs) and one map-combinable min(struct(-metric, id)) aggregation —
@@ -771,20 +774,26 @@ def pick_dedup_representatives(
     partially on every task, unlike a row_number window over the
     component, which would serialize the hot cluster through one task.
     """
+    # NULL metrics rank LAST (matching SQL's default NULLS LAST ordering
+    # — Spark's struct-min would otherwise rank them FIRST and elect a
+    # null-metric member): coalesce to a +inf sentinel in the negated
+    # key, and surface NULL back out if a cluster has only null metrics.
+    sentinel = F.lit(9223372036854775807)
+    nm = F.coalesce(-F.col(metric_col).cast("long"), sentinel)
     j = components.join(
         metrics.select(F.col(id_col), F.col(metric_col)), id_col
     )
     agg = j.groupBy(comp_col).agg(
         F.min(
-            F.struct(
-                (-F.col(metric_col)).alias("nm"), F.col(id_col).alias("id")
-            )
+            F.struct(nm.alias("nm"), F.col(id_col).alias("id"))
         ).alias("_m"),
         F.count(F.lit(1)).alias("n_members"),
     )
     return agg.select(
         comp_col,
         F.col("_m.id").alias("keep_doc_id"),
-        (-F.col("_m.nm")).cast("int").alias(f"keep_{metric_col}"),
+        F.when(F.col("_m.nm") == sentinel, F.lit(None)).otherwise(
+            -F.col("_m.nm")
+        ).alias(f"keep_{metric_col}"),
         "n_members",
     )

@@ -1206,3 +1206,25 @@ def test_mask_tokens_fast_path_contract(spark):
     assert 120 <= masked <= 240  # 1200 positions at 15%
     for _, r in a.iterrows():
         assert sum(1 for t in r["tokens"] if t == -9) == r["n_masked"]
+
+
+def test_pick_dedup_representatives_nulls_rank_last(spark):
+    """A NULL metric never beats a real one (SQL NULLS LAST parity with
+    the oracle); an all-null cluster keeps its min id with NULL value."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        pick_dedup_representatives,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "doc_id long, component_id long"
+    )
+    metrics = spark.createDataFrame(
+        [(1, None), (2, 3), (7, None), (8, None)],
+        "doc_id long, n_words int",
+    )
+    got = {
+        r["component_id"]: (r["keep_doc_id"], r["keep_n_words"])
+        for r in pick_dedup_representatives(comps, metrics).collect()
+    }
+    assert got[1] == (2, 3)        # real metric beats null
+    assert got[7] == (7, None)     # all-null cluster: min id, NULL value
