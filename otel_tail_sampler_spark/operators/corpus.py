@@ -771,3 +771,55 @@ def corpus_report(
         )
         .orderBy("source")
     )
+
+
+def rates_for_budget(
+    report: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    tokens_col: str = "total_words",
+) -> dict[str, float]:
+    """Driver-side mixture solver: per-source keep RATES (for
+    mixture_sample) whose expected kept tokens hit ``budget_tokens``,
+    splitting the budget by relative ``weights`` (None = every source
+    weight 1) with deterministic WATER-FILLING — when a small source
+    saturates at rate 1.0, its unused share re-flows to the unsaturated
+    sources, iterating until stable. The natural input is
+    corpus_report's (source, total_words) output.
+
+    Pure driver arithmetic over the per-source totals (one tiny dict in,
+    one tiny dict out — never a Spark job), so the expensive part stays
+    the single corpus_report aggregation. If the budget exceeds the
+    weighted corpus, saturated sources cap at 1.0 and the result
+    undershoots — by exactly the mass that does not exist.
+    """
+    totals = {
+        r[source_col]: int(r[tokens_col])
+        for r in report.select(source_col, tokens_col).collect()
+    }
+    if weights is None:
+        weights = {s: 1.0 for s in totals}
+    active = {s for s in totals if weights.get(s, 0.0) > 0 and totals[s] > 0}
+    rates = {s: 0.0 for s in totals}
+    remaining = float(budget_tokens)
+    # each pass either saturates >=1 source or allocates everything
+    for _ in range(len(totals) + 1):
+        if remaining <= 0 or not active:
+            break
+        wsum = sum(weights[s] for s in active)
+        saturated = []
+        for s in sorted(active):
+            share = remaining * weights[s] / wsum
+            if share >= totals[s] * (1.0 - rates[s]):
+                saturated.append(s)
+        if not saturated:
+            for s in active:
+                rates[s] += (remaining * weights[s] / wsum) / totals[s]
+            remaining = 0.0
+            break
+        for s in saturated:
+            remaining -= totals[s] * (1.0 - rates[s])
+            rates[s] = 1.0
+            active.remove(s)
+    return {s: min(1.0, round(r, 9)) for s, r in rates.items()}

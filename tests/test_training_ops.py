@@ -1228,3 +1228,26 @@ def test_pick_dedup_representatives_nulls_rank_last(spark):
     }
     assert got[1] == (2, 3)        # real metric beats null
     assert got[7] == (7, None)     # all-null cluster: min id, NULL value
+
+
+def test_rates_for_budget_water_filling(spark):
+    from otel_tail_sampler_spark.operators.corpus import rates_for_budget
+
+    report = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 400)],
+        "source string, total_words long",
+    )
+    # equal weights, budget 600: naive share 200 each, but b caps at 100;
+    # its unused 100 re-flows equally to a and c -> 250 each
+    r = rates_for_budget(report, 600)
+    assert r["b"] == 1.0
+    assert abs(r["a"] - 0.25) < 1e-9 and abs(r["c"] - 250 / 400) < 1e-9
+    kept = 1000 * r["a"] + 100 * r["b"] + 400 * r["c"]
+    assert abs(kept - 600) < 1e-6
+    # budget above the corpus: everything saturates
+    r_all = rates_for_budget(report, 10_000)
+    assert r_all == {"a": 1.0, "b": 1.0, "c": 1.0}
+    # weighted: c gets 3x a's share; b weight 0 -> dropped
+    rw = rates_for_budget(report, 700, weights={"a": 1, "b": 0, "c": 3})
+    assert rw["b"] == 0.0 and rw["c"] == 1.0  # c share 525 > 400: caps
+    assert abs(1000 * rw["a"] + 400 - 700) < 1e-6
