@@ -184,3 +184,28 @@ def test_scan_prunes_tokens_for_counts(spark, small_dataset):
     joined = "\n".join(scan_sections)
     # at least one scan must have dropped doc_id (proves pruning reaches scans)
     assert "ReadSchema" in plan
+
+def test_stratified_sample_windows_are_salted_then_bounded(spark):
+    """stratified_sample's scale contract: the window over the bare
+    (skewable) group key runs only above the `_r1 <= quota` filter, and
+    the bottom-most exchange partitions on (group, salt) — a hot group
+    never funnels whole through one task (same scheme as the rate-limit
+    policy guard)."""
+    from otel_tail_sampler_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    plan = _explain(stratified_sample(df, quota=2, salt_buckets=4))
+    assert plan.count("Window") >= 2
+    # detail sections list nodes bottom-up: the FIRST hashpartitioning is
+    # the bottom exchange and must be the salted one; the exact-rank
+    # exchange above it partitions on the bare group key only
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert len(parts) >= 2, plan
+    assert "_salt" in parts[0]
+    assert "_salt" not in parts[-1]
+    # the bare-key window's input is the `_r1 <= quota` survivor set
+    assert "_r1" in plan
