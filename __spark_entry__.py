@@ -1505,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by nature: greedy first-fit is a per-bucket recurrence
         # no SQL can express; scalar-reference pytest carries correctness
         "pack_documents_greedy": q_pack_documents_greedy,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
     }
 
 
@@ -1668,6 +1669,21 @@ def q_pack_documents_greedy(spark, sf_dir):
     return out.select(
         "example_id", _tokens_md5().alias("tokens_md5"), "n_tok", "n_docs"
     )
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster size histogram over the LSH component graph."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        dedup_cluster_stats,
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=6).select(
+        "id_a", "id_b"
+    )
+    return dedup_cluster_stats(dedup_components(pairs, all_ids=docs))
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -3240,6 +3256,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT component_id, doc_id AS keep_doc_id, nw::BIGINT AS keep_n_words,
                nm::BIGINT AS n_members
         FROM r WHERE rn = 1
+    """
+
+    o["dedup_cluster_stats"] = f"""
+        WITH sizes AS (
+          SELECT component_id, count(*)::BIGINT AS cluster_size
+          FROM ({o["dedup_components"]}) GROUP BY component_id)
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY cluster_size
     """
 
     # composite rollups: each leg is the LITERAL standalone oracle embedded

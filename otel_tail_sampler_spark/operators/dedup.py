@@ -797,3 +797,24 @@ def pick_dedup_representatives(
         ).alias(f"keep_{metric_col}"),
         "n_members",
     )
+
+
+def dedup_cluster_stats(
+    components: DataFrame,
+    comp_col: str = "component_id",
+) -> DataFrame:
+    """Near-dup cluster size histogram -> (cluster_size, n_clusters):
+    the one-line answer to "how duplicated is this corpus" (size 1 =
+    unique docs; the tail is the boilerplate). Two map-combinable
+    aggregations — per-component size, then per-size count — so a
+    million-member boilerplate cluster costs its row count, never a
+    single-task window.
+    """
+    sizes = components.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -1251,3 +1251,17 @@ def test_rates_for_budget_water_filling(spark):
     rw = rates_for_budget(report, 700, weights={"a": 1, "b": 0, "c": 3})
     assert rw["b"] == 0.0 and rw["c"] == 1.0  # c share 525 > 400: caps
     assert abs(1000 * rw["a"] + 400 - 700) < 1e-6
+
+
+def test_dedup_cluster_stats_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.dedup import dedup_cluster_stats
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, component_id long",
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dedup_cluster_stats(comps).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
