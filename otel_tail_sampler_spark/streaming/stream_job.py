@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otel_tail_sampler_spark.operators.parser import parse_spans
+from otel_tail_sampler_spark.operators.parser import parse_spans_jvm
 from otel_tail_sampler_spark.operators.policies import KEEP, SamplerConfig, decide
 
 
@@ -292,7 +292,7 @@ def run_streaming_pipeline(
     """
     cfg = cfg or SamplerConfig(rate_limit_per_key=None)
     stream = read_tokenized_stream(spark, input_path, max_files_per_trigger)
-    spans = parse_spans(stream, keep_tokens=False).filter(F.col("parse_ok"))
+    spans = parse_spans_jvm(stream, keep_tokens=False).filter(F.col("parse_ok"))
     if strategy == "state":
         sessions = assemble_with_state(spans, gap_seconds, watermark_delay)
     elif strategy == "session_window":

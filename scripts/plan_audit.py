@@ -48,11 +48,12 @@ def main() -> None:
     res = run_pipeline(spark, paths["tokenized"], E.ENTRY_CFG)
     section(
         "Flagship pipeline: routed output",
-        "What to check: ONE ArrowEvalPython/MapInArrow stage (the parser);\n"
-        "routing side is pure JVM key math; the decision build side is\n"
-        "BroadcastHashJoin (only non-drop decisions broadcast — O(kept));\n"
-        "assembly is a two-phase HashAggregate (partial -> final) on the\n"
-        "int64 key pair; no per-row Python anywhere in the hot path.",
+        "What to check: ZERO Python stages anywhere (round 4: the decode\n"
+        "is whole-stage-codegen expressions; the Arrow kernel remains as\n"
+        "the equality-tested parser='arrow' variant); the decision build\n"
+        "side is BroadcastHashJoin (only non-drop decisions broadcast —\n"
+        "O(kept)); assembly is a two-phase HashAggregate (partial ->\n"
+        "final) on the int64 key pair.",
         res.routed,
     )
 

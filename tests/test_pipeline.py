@@ -305,3 +305,16 @@ def test_orc_source_matches_parquet(spark, small_dataset, tmp_path):
     db = {(r["trace_id"], r["decision"]) for r in b.decided.collect()}
     assert da == db
     assert b.spans.schema["tokens"].dataType.simpleString() == "array<int>"
+
+
+def test_jvm_parser_pipeline_matches_arrow(spark, small_dataset):
+    """The default (JVM-expression) parser and the Arrow kernel drive the
+    pipeline to IDENTICAL decisions and routed counts."""
+    a = run_pipeline(spark, small_dataset["tokenized"], CFG, parser="arrow")
+    b = run_pipeline(spark, small_dataset["tokenized"], CFG, parser="jvm")
+    da = {(r["trace_id"], r["decision"]) for r in a.decided.collect()}
+    db = {(r["trace_id"], r["decision"]) for r in b.decided.collect()}
+    assert da == db
+    ca = {r["decision"]: r["count"] for r in a.routed.groupBy("decision").count().collect()}
+    cb = {r["decision"]: r["count"] for r in b.routed.groupBy("decision").count().collect()}
+    assert ca == cb
