@@ -1506,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no SQL can express; scalar-reference pytest carries correctness
         "pack_documents_greedy": q_pack_documents_greedy,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "decontaminate_corpus": q_decontaminate_corpus,
+        "apply_dedup": q_apply_dedup,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -1684,6 +1687,71 @@ def q_dedup_cluster_stats(spark, sf_dir):
         "id_a", "id_b"
     )
     return dedup_cluster_stats(dedup_components(pairs, all_ids=docs))
+
+
+def q_decontaminate_corpus(spark, sf_dir):
+    """APPLY decontamination (GPT-3 appendix-C direction): drop every
+    train doc whose 8-gram containment of ANY eval doc reaches 0.2 —
+    same deterministic split / threshold / train-side df cap as the
+    `contamination` report query, surviving rows out."""
+    from otel_tail_sampler_spark.operators.dedup import decontaminate_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = decontaminate_corpus(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        shingle_n=8,
+        threshold=0.2,
+        max_gram_df=2,
+    )
+    return out.select("doc_id", "source", F.md5("text").alias("text_md5"))
+
+
+def q_apply_dedup(spark, sf_dir):
+    """APPLY near-dup dedup: LSH pair graph -> components -> keep-the-
+    longest election -> surviving document rows (one representative per
+    cluster plus all singletons)."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        apply_dedup,
+        minhash_lsh_pairs,
+    )
+    from otel_tail_sampler_spark.operators.text import token_count_ws
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=6).select(
+        "id_a", "id_b"
+    )
+    docs_m = docs.withColumn(
+        "n_words", token_count_ws(F.col("text")).cast("int")
+    )
+    out = apply_dedup(docs_m, pairs, metric_col="n_words")
+    return out.select("doc_id", "source", F.md5("text").alias("text_md5"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4/CCNet-style global line dedup over a deterministically planted
+    multi-line corpus: every doc gains a shared license-header line and
+    every fifth doc a footer line; only each line's first (doc_id, pos)
+    occurrence survives and texts are rebuilt."""
+    from otel_tail_sampler_spark.operators.dedup import dedup_lines
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("all rights reserved licensed under the apache license"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("subscribe to our newsletter for updates"),
+            ),
+        ).alias("text"),
+    )
+    out = dedup_lines(planted, min_count=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines_removed"
+    )
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -2421,6 +2489,73 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s ON s.eval_id = e.doc_id
             LEFT JOIN best b ON b.eval_id = e.doc_id AND b.rn = 1
             WHERE e.doc_id % 10 = 0
+        """,
+        "dedup_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'all rights reserved licensed under the apache license',
+                       text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'subscribe to our newsletter for updates' END
+                     ) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(0, len(string_split(text, chr(10))))) AS pos
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY md5(line)
+                                        ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY md5(line)) AS n
+              FROM lines
+            ),
+            surv AS (SELECT doc_id, pos, line FROM r
+                     WHERE NOT (n >= 2 AND rn > 1)),
+            reb AS (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+                     count(*) AS n_kept
+              FROM surv GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n0 FROM lines GROUP BY doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(reb.text, '')) AS text_md5,
+                   (tot.n0 - coalesce(reb.n_kept, 0))::INT AS n_lines_removed
+            FROM d
+            JOIN tot USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
+        """,
+        "decontaminate_corpus": f"""
+            WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+            ev AS (
+              SELECT doc_id AS eval_id, unnest(list_distinct({_shingle_sql(8)})) AS s
+              FROM d WHERE doc_id % 10 = 0
+            ),
+            tr0 AS (
+              SELECT doc_id AS train_id, unnest(list_distinct({_shingle_sql(8)})) AS s
+              FROM d WHERE doc_id % 10 <> 0
+            ),
+            keep AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 2),
+            tr AS (SELECT train_id, s FROM tr0 SEMI JOIN keep USING (s)),
+            sizes AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
+            inter AS (
+              SELECT eval_id, train_id, count(*) AS i
+              FROM ev JOIN tr USING (s) GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT DISTINCT train_id
+              FROM inter JOIN sizes USING (eval_id)
+              WHERE i / greatest(sz, 1) >= 0.2
+            )
+            SELECT doc_id, source, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT train_id FROM flagged)
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -3256,6 +3391,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT component_id, doc_id AS keep_doc_id, nw::BIGINT AS keep_n_words,
                nm::BIGINT AS n_members
         FROM r WHERE rn = 1
+    """
+
+    # apply_dedup's keep set IS the representatives oracle's keep_doc_id
+    # column (singleton components elect themselves, so keeper-semi-join
+    # over the all-ids election equals docs-minus-dropped over the
+    # pairs-only election the Spark side runs)
+    o["apply_dedup"] = f"""
+        SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+        FROM documents d
+        SEMI JOIN (SELECT keep_doc_id AS doc_id
+                   FROM ({o["dedup_representatives"]})) USING (doc_id)
     """
 
     o["dedup_cluster_stats"] = f"""

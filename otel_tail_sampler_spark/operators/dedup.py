@@ -379,6 +379,54 @@ def ngram_jaccard_pairs(
 DEFAULT_MAX_GRAM_DF = 100
 
 
+def _containment_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    max_gram_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pair-containment stage for :func:`contamination` (the report)
+    and :func:`decontaminate_corpus` (the apply): word-shingle both sides,
+    drop train-side hot grams above ``max_gram_df`` BEFORE the equi-join
+    (the fanout bound argued in contamination's docstring), and count
+    shingle intersections per (eval, train) pair.
+
+    -> ``(inter, sizes)``: ``inter`` = (eval_id, train_id, _i) intersection
+    counts; ``sizes`` = (eval_id, _sz) eval shingle counts (the containment
+    denominator — never pruned by the cap).
+    """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    train = spread_small_input(train)  # shingling runs pre-exchange
+    evals = spread_small_input(evals)
+    she = evals.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sht = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    if max_gram_df is not None:
+        # shingles are distinct per doc, so count(*) == document frequency
+        keep = (
+            sht.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("sh")
+        )
+        sht = sht.join(keep, "sh", "semi")
+    sizes = she.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        she.join(sht, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return inter, sizes
+
+
 def contamination(
     train: DataFrame,
     evals: DataFrame,
@@ -420,32 +468,8 @@ def contamination(
     """
     from pyspark.sql import Window
 
-    from otel_tail_sampler_spark.functions.spread import spread_small_input
-
-    train = spread_small_input(train)  # shingling runs pre-exchange
-    evals = spread_small_input(evals)
-    she = evals.select(
-        F.col(id_col).alias("eval_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    sht = train.select(
-        F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    if max_gram_df is not None:
-        # shingles are distinct per doc, so count(*) == document frequency
-        keep = (
-            sht.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_gram_df)
-            .select("sh")
-        )
-        sht = sht.join(keep, "sh", "semi")
-    sizes = she.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_sz"))
-    inter = (
-        she.join(sht, "sh")
-        .groupBy("eval_id", "train_id")
-        .agg(F.count(F.lit(1)).alias("_i"))
+    inter, sizes = _containment_pairs(
+        train, evals, shingle_n, id_col, text_col, max_gram_df
     )
     w = Window.partitionBy("eval_id").orderBy(
         F.desc("_i"), F.asc("train_id")
@@ -472,6 +496,47 @@ def contamination(
         .withColumn("contaminated", F.col("containment") >= F.lit(threshold))
     )
     return out
+
+
+def decontaminate_corpus(
+    train: DataFrame,
+    evals: DataFrame,
+    shingle_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+) -> DataFrame:
+    """APPLY decontamination: drop from ``train`` every document that
+    contaminates ANY eval document — i.e. some eval's shingle CONTAINMENT
+    in that train doc reaches ``threshold``. This is the GPT-3 appendix-C
+    policy direction (remove the training side, keep the benchmark intact);
+    :func:`contamination` is the per-eval REPORT over the same pair stage.
+
+    -> the surviving ``train`` rows, all original columns.
+
+    Scale shape: the pair stage is the shared fanout-bounded equi-join
+    (see :func:`_containment_pairs`); the flagged id set it produces is
+    tiny relative to the corpus (distinct train ids over threshold), so
+    the removal is an anti-join the optimizer can broadcast. Capped
+    containment is a conservative LOWER bound (the cap prunes only the
+    train side), so a capped run can under-flag eval text that exists
+    verbatim in more than ``max_gram_df`` train docs — mass-verbatim
+    duplication is the exact-dedup family's job, not this operator's.
+    """
+    inter, sizes = _containment_pairs(
+        train, evals, shingle_n, id_col, text_col, max_gram_df
+    )
+    flagged = (
+        inter.join(sizes, "eval_id")
+        .filter(
+            F.col("_i") / F.greatest(F.col("_sz"), F.lit(1))
+            >= F.lit(threshold)
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "anti")
 
 
 # --- token-window (substring) dedup ------------------------------------------
@@ -629,6 +694,78 @@ def trim_dup_spans(
             F.col("_kept").alias(tok_col),
             (F.col("_n0") - F.size("_kept")).cast("int").alias("n_removed"),
         )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global LINE-level dedup (the C4/CCNet boilerplate rule): any line
+    whose exact text occurs >= ``min_count`` times corpus-wide keeps only
+    its FIRST occurrence (lexicographic (doc_id, line position)); every
+    later occurrence is deleted and the document text is rebuilt from the
+    surviving lines in order. C4 cut repeated three-sentence spans, CCNet
+    repeated paragraphs — this is that family at line granularity, the
+    natural unit for license headers / navigation chrome / footers.
+
+    ``sep`` is used as a REGEX for splitting and a LITERAL for re-joining
+    (they coincide for the "\\n" default). -> original columns with
+    ``text_col`` rebuilt, plus ``n_lines_removed``. A document whose every
+    line is a later duplicate rebuilds to the empty string.
+
+    Scale shape: mirrors trim_dup_spans — only the slim (id, pos, 32-hex)
+    triple shuffles (line text never does); the first-occurrence election
+    is a map-combinable ``groupBy(_h).agg(min(struct), count)``, never a
+    window over the raw hash (a corpus-wide boilerplate line is a hot key
+    by construction); the join back is AQE-skew-splittable; and the
+    deletion is one JVM filter over the split array by position.
+    """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    occ = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_line"),
+        )
+        .select(id_col, "pos", F.md5(F.col("_line")).alias("_h"))
+    )
+    groups = (
+        occ.groupBy("_h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_h", "_first")
+    )
+    masked = (
+        occ.join(groups, "_h")
+        .filter(
+            ~(
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_drop"))
+    )
+    out = docs.join(masked, id_col, "left").withColumn(
+        "_drop", F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.split(F.col(text_col), sep),
+        lambda x, i: ~F.array_contains(F.col("_drop"), i),
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return out.select(
+        *others,
+        F.concat_ws(sep, kept).alias(text_col),
+        F.size("_drop").cast("int").alias("n_lines_removed"),
     )
 
 
@@ -797,6 +934,50 @@ def pick_dedup_representatives(
         ).alias(f"keep_{metric_col}"),
         "n_members",
     )
+
+
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    metric_col: str | None = None,
+) -> DataFrame:
+    """APPLY near-dup dedup: given candidate/verified duplicate ``pairs``
+    (id_a, id_b), return the surviving rows of ``docs`` — exactly one
+    representative per duplicate cluster plus every singleton, all
+    original columns. The report-side siblings are
+    :func:`dedup_components` (labels) and
+    :func:`pick_dedup_representatives` (the election).
+
+    ``metric_col=None``: keep the component label itself (min reachable
+    id) — no election join at all. ``metric_col`` given (must be a column
+    of ``docs``, prefer an integer count): keep the member with the
+    highest metric, ties to min id, via the map-combinable argmax in
+    :func:`pick_dedup_representatives`.
+
+    Scale shape: components are computed only over pair-participating ids
+    (singletons never enter the label propagation — at corpus scale the
+    pair graph is orders of magnitude smaller than the corpus), and the
+    drop set is members-minus-keepers of that graph, so the final
+    ``docs`` anti-join is against a small id list the optimizer can
+    broadcast. NULL metrics rank last, per the election's contract.
+    """
+    comps = dedup_components(pairs, id_col=id_col)
+    if metric_col is None:
+        drop = comps.filter(F.col(id_col) != F.col("component_id")).select(
+            id_col
+        )
+    else:
+        reps = pick_dedup_representatives(
+            comps,
+            docs.select(F.col(id_col), F.col(metric_col)),
+            id_col=id_col,
+            metric_col=metric_col,
+        )
+        drop = comps.select(id_col).join(
+            reps.select(F.col("keep_doc_id").alias(id_col)), id_col, "anti"
+        )
+    return docs.join(drop, id_col, "anti")
 
 
 def dedup_cluster_stats(

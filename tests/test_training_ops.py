@@ -1230,6 +1230,91 @@ def test_pick_dedup_representatives_nulls_rank_last(spark):
     assert got[7] == (7, None)     # all-null cluster: min id, NULL value
 
 
+def test_decontaminate_corpus_drops_contaminating_train_docs(spark):
+    """The APPLY side of contamination: every train doc any eval is
+    >=threshold contained in is dropped; clean train docs survive with
+    all their columns."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "web"),
+            (2, "lorem ipsum dolor sit amet consectetur", "web"),
+            (3, "the quick brown fox jumps over the lazy dog and more", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = D.decontaminate_corpus(train, evals, shingle_n=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # eval 100 fully contained in 1 and 3 -> both dropped; 2 survives intact
+    assert set(rows) == {2}
+    assert rows[2]["source"] == "web" and rows[2]["text"].startswith("lorem")
+    # threshold above the overlap -> nothing dropped
+    assert (
+        D.decontaminate_corpus(
+            train, evals, shingle_n=3, threshold=1.1
+        ).count()
+        == 3
+    )
+
+
+def test_apply_dedup_min_id_and_metric_elections(spark):
+    """apply_dedup keeps one representative per pair-graph cluster plus
+    all singletons: min-id default, longest-member with a metric."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", 5), (2, "a b c d e f g h i j k", 11),
+         (3, "a b c d e f g h i j z", 11), (9, "x y", 2), (10, "p q r", 3)],
+        "doc_id long, text string, n_words int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    by_min = {r["doc_id"] for r in D.apply_dedup(docs, pairs).collect()}
+    assert by_min == {1, 9, 10}
+    by_len = {
+        r["doc_id"]
+        for r in D.apply_dedup(docs, pairs, metric_col="n_words").collect()
+    }
+    # 11-word tie between 2 and 3 -> min id 2 kept
+    assert by_len == {2, 9, 10}
+    # original columns intact
+    assert set(D.apply_dedup(docs, pairs).columns) == {
+        "doc_id", "text", "n_words"
+    }
+
+
+def test_dedup_lines_first_wins_and_rebuild(spark):
+    """C4-style line dedup: corpus-wide duplicate lines survive only at
+    their first (doc_id, pos) occurrence; texts rebuild in order; a doc
+    of only later-duplicate lines rebuilds to ''; unique lines and
+    sub-min_count duplicates are untouched."""
+    hdr = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nalpha body one\n{hdr}"),  # intra-doc dup: pos 2 dropped
+            (2, f"{hdr}\nbeta body two"),
+            (3, hdr),                              # only a later dup -> ''
+            (4, "unique gamma line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.dedup_lines(docs).collect()}
+    assert got[1]["text"] == f"{hdr}\nalpha body one"
+    assert got[1]["n_lines_removed"] == 1
+    assert got[2]["text"] == "beta body two"
+    assert got[3]["text"] == "" and got[3]["n_lines_removed"] == 1
+    assert got[4]["text"] == "unique gamma line"
+    assert got[4]["n_lines_removed"] == 0
+    # min_count above the occurrence count -> nothing removed
+    untouched = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in D.dedup_lines(docs, min_count=5).collect()
+    }
+    assert untouched == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
 def test_rates_for_budget_water_filling(spark):
     from otel_tail_sampler_spark.operators.corpus import rates_for_budget
 
