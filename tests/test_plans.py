@@ -150,6 +150,22 @@ def test_trim_dup_spans_has_no_window_over_hash(spark):
     assert "HashAggregate" in plan
 
 
+def test_dedup_lines_has_no_window_over_hash(spark):
+    """dedup_lines mirrors trim_dup_spans' de-skewed election: a
+    corpus-wide boilerplate line (license header in millions of docs) is
+    a hot hash BY CONSTRUCTION, so the first-occurrence election must be
+    the map-combinable groupBy(min(struct), count), never a row_number
+    window over the raw line hash."""
+    from otel_tail_sampler_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = _explain(dedup_lines(df))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_spread_detects_nodes_not_strings(spark, small_dataset):
     """spread_small_input's wide-plan guard keys on logical-plan NODE
     identity (ADVICE r3): a column alias literally named 'SortKey' must
