@@ -1509,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_corpus": q_decontaminate_corpus,
         "apply_dedup": q_apply_dedup,
         "dedup_lines": q_dedup_lines,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1752,6 +1753,22 @@ def q_dedup_lines(spark, sf_dir):
     return out.select(
         "doc_id", F.md5("text").alias("text_md5"), "n_lines_removed"
     )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix over the MinHash-LSH pair graph:
+    per unordered (source_a, source_b) label pair, how many near-dup
+    pairs connect them (diagonal = within-source duplication)."""
+    from otel_tail_sampler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        source_overlap,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=6).select(
+        "id_a", "id_b"
+    )
+    return source_overlap(pairs, docs)
 
 
 def q_lsh_topk_approx(spark, sf_dir):
@@ -2489,6 +2506,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s ON s.eval_id = e.doc_id
             LEFT JOIN best b ON b.eval_id = e.doc_id AND b.rn = 1
             WHERE e.doc_id % 10 = 0
+        """,
+        "source_overlap": f"""
+            WITH {lsh_ctes}
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   count(*)::BIGINT AS pair_count
+            FROM lsh_pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            GROUP BY 1, 2
         """,
         "dedup_lines": """
             WITH d AS (

@@ -980,6 +980,47 @@ def apply_dedup(
     return docs.join(drop, id_col, "anti")
 
 
+def source_overlap(
+    pairs: DataFrame,
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for each unordered pair of
+    ``group_col`` labels, how many duplicate pairs connect them — the
+    "which sources duplicate each other" audit that drives decisions
+    like SlimPajama's cross-source dedup (dedup within+across sources)
+    vs per-source-only. Works over ANY pair stream (exact, MinHash-LSH,
+    SimHash, embedding near-dup).
+
+    -> (<group>_a, <group>_b, pair_count), labels canonicalized so
+    a <= b; the diagonal rows (a == b) are within-source duplication.
+
+    Scale shape: ``meta`` is projected to the slim (id, group) pair
+    before joining, and the pair graph is orders of magnitude smaller
+    than the corpus, so AQE broadcasts the pair side; the final count
+    groups on a tiny |groups|^2 key space (map-combinable).
+    """
+    m = meta.select(F.col(id_col), F.col(group_col))
+    a = m.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")
+    )
+    b = m.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_ga", "_gb").alias(f"{group_col}_a"),
+            F.greatest("_ga", "_gb").alias(f"{group_col}_b"),
+        )
+        .groupBy(f"{group_col}_a", f"{group_col}_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
 def dedup_cluster_stats(
     components: DataFrame,
     comp_col: str = "component_id",

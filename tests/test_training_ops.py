@@ -909,26 +909,27 @@ def test_score_bigram_novelty_scalar_reference(spark):
     df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
     model = build_bigram_model(df, model_size=20)
     mref = {r["bigram"]: r["freq"] for r in model.collect()}
-    got = {
-        r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["hit_freq_sum"])
-        for r in score_bigram_novelty(df, model).collect()
-    }
-    for doc_id, toks in rows:
-        pairs = [
-            toks[i] * 4294967296 + (toks[i + 1] & 0xFFFFFFFF)
-            for i in range(len(toks) - 1)
-        ]
-        exp = (
-            len(pairs),
-            sum(1 for p in pairs if p not in mref),
-            sum(mref.get(p, 0) for p in pairs),
-        )
-        assert got[doc_id] == exp, doc_id
+    for kernel in ("jvm", "arrow"):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["hit_freq_sum"])
+            for r in score_bigram_novelty(df, model, kernel=kernel).collect()
+        }
+        for doc_id, toks in rows:
+            pairs = [
+                toks[i] * 4294967296 + (toks[i + 1] & 0xFFFFFFFF)
+                for i in range(len(toks) - 1)
+            ]
+            exp = (
+                len(pairs),
+                sum(1 for p in pairs if p not in mref),
+                sum(mref.get(p, 0) for p in pairs),
+            )
+            assert got[doc_id] == exp, (kernel, doc_id)
 
 
-def test_score_bigram_novelty_is_shuffle_free(spark):
-    """The corpus never shuffles during scoring: model broadcast, one
-    Arrow stage over the scan."""
+def test_score_bigram_novelty_arrow_kernel_is_shuffle_free(spark):
+    """kernel='arrow': the corpus never shuffles during scoring — model
+    broadcast, one Arrow stage over the scan."""
     from otel_tail_sampler_spark.operators.corpus import (
         build_bigram_model,
         score_bigram_novelty,
@@ -939,13 +940,51 @@ def test_score_bigram_novelty_is_shuffle_free(spark):
     )
     model = build_bigram_model(df, model_size=10)
     plan = (
-        score_bigram_novelty(df, model)
+        score_bigram_novelty(df, model, kernel="arrow")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_score_bigram_novelty_jvm_kernel_plan_and_edges(spark):
+    """kernel='jvm' (the zero-Python variant): no Python stages, the
+    model side is a broadcast hash join (the corpus never builds a
+    shuffle for the lookup); kernels agree on edge docs (empty,
+    single-token, INT32_MIN-adjacent tokens) and on an empty model."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        score_bigram_novelty,
+    )
+
+    lo = -(2**31)
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 1, 2]), ("b", []), ("c", [7]),
+         ("d", [lo, -1, lo, lo + 1])],
+        "doc_id string, tokens array<int>",
+    )
+    model = build_bigram_model(df, model_size=3)
+    plan = (
+        score_bigram_novelty(df, model, kernel="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+    for m in (model, model.limit(0)):  # empty model: all bigrams unseen
+        jvm = {
+            tuple(r)
+            for r in score_bigram_novelty(df, m, kernel="jvm").collect()
+        }
+        arr = {
+            tuple(r)
+            for r in score_bigram_novelty(df, m, kernel="arrow").collect()
+        }
+        assert jvm == arr
 
 
 def test_quantize_embeddings_hand_computed(spark):
@@ -1313,6 +1352,24 @@ def test_dedup_lines_first_wins_and_rebuild(spark):
         for r in D.dedup_lines(docs, min_count=5).collect()
     }
     assert untouched == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_source_overlap_matrix(spark):
+    """Unordered-label canonicalization, diagonal = within-source, counts
+    per label pair."""
+    meta = spark.createDataFrame(
+        [(1, "web"), (2, "book"), (3, "web"), (4, "web"), (5, "code")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["pair_count"]
+        for r in D.source_overlap(pairs, meta).collect()
+    }
+    # (1,2) web-book and (2,3) book-web both canonicalize to (book, web)
+    assert got == {("book", "web"): 2, ("web", "web"): 2}
 
 
 def test_rates_for_budget_water_filling(spark):
