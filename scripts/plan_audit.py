@@ -280,6 +280,48 @@ def main() -> None:
         ),
     )
 
+    from otel_tail_sampler_spark.operators.dedup import dedup_lines
+
+    section(
+        "Global line dedup (C4 boilerplate rule)",
+        "What to check: NO Window node anywhere — the first-occurrence\n"
+        "election over the line hash is a two-phase HashAggregate\n"
+        "(min(struct)+count combine map-side; a corpus-wide license\n"
+        "header is a hot hash BY CONSTRUCTION and must never serialize\n"
+        "through one window task); only the slim (id, pos, md5) triple\n"
+        "reaches any exchange (line text stays behind); the rebuild is\n"
+        "one JVM positional filter over the split array.",
+        dedup_lines(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ),
+    )
+
+    from otel_tail_sampler_spark.operators.dedup import (
+        apply_dedup,
+        minhash_lsh_pairs,
+    )
+    from otel_tail_sampler_spark.operators.text import token_count_ws
+
+    docs001 = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("n_words", token_count_ws(F.col("text")).cast("int"))
+    section(
+        "Apply near-dup dedup (surviving corpus)",
+        "What to check: the final join of docs against the drop list is\n"
+        "a BROADCAST hash join (the drop set is members-minus-keepers of\n"
+        "the pair graph — orders of magnitude smaller than the corpus);\n"
+        "the election is the representatives' map-combinable argmax;\n"
+        "components run only over pair-participating ids (singletons\n"
+        "never enter label propagation).",
+        apply_dedup(
+            docs001,
+            minhash_lsh_pairs(docs001, num_hashes=12, bands=6).select(
+                "id_a", "id_b"
+            ),
+            metric_col="n_words",
+        ),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
