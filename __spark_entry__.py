@@ -1510,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_dedup": q_apply_dedup,
         "dedup_lines": q_dedup_lines,
         "source_overlap": q_source_overlap,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1907,6 +1909,31 @@ def _d5_oracle_select(strategy: str) -> str:
            ELSE 'no_policy_matched' END AS decision_policy
     FROM d5
     """
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Integer-exact Lloyd's k-means over int8-quantized embeddings
+    (k=8, 2 iterations, init = k smallest ids): distances are int64
+    squared L2, centroid updates truncated integer division — every step
+    bit-reproducible, so the full assignment carries a value-hash oracle
+    (float k-means cannot: sum order shifts centroids)."""
+    from otel_tail_sampler_spark.operators.clustering import kmeans_quantized
+    from otel_tail_sampler_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return kmeans_quantized(q, k=8, iters=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the corpus, then drop
+    every vector with a smaller-id cluster-mate at cosine >= 0.4 (threshold
+    matches embedding_neardup so real drops occur on this data). The cosine
+    test is cross-multiplied to int64 — exact keep set."""
+    from otel_tail_sampler_spark.operators.clustering import semantic_dedup
+    from otel_tail_sampler_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return semantic_dedup(q, k=8, iters=2, tau=(2, 5))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3484,4 +3511,82 @@ def oracle_sql() -> dict[str, str]:
              "event_type::VARCHAR", "0.0"),
         ]
     )
+
+    # Shared CTE chain: int8 quantization replay + 2 unrolled integer
+    # k-means iterations (init = 8 smallest ids; trunc-div centroid means;
+    # an emptied cluster keeps its previous centroid via COALESCE).
+    # DuckDB `//` truncates toward zero exactly like Spark's div, and every
+    # distance/sum stays far under 2^53, so the replay is bit-exact.
+    _km_d = ("list_sum([ (v.q[i]-c.q[i])*(v.q[i]-c.q[i]) "
+             "for i in range(1, len(v.q)+1) ])::BIGINT")
+    _km_iter = """,
+        d{t} AS (
+          SELECT v.vec_id, c.cl, {d} AS dist
+          FROM qv v CROSS JOIN c{p} c),
+        a{t} AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM d{t}) WHERE rn = 1),
+        u{t} AS (
+          SELECT cl, pos, (sum(val)::BIGINT // count(*))::INT AS m
+          FROM (SELECT a{t}.cl AS cl, unnest(v.q) AS val,
+                       unnest(range(1, len(v.q)+1)) AS pos
+                FROM a{t} JOIN qv v USING (vec_id)) t
+          GROUP BY cl, pos),
+        c{t} AS (
+          SELECT c{p}.cl, COALESCE(u.q, c{p}.q) AS q
+          FROM c{p} LEFT JOIN (SELECT cl, list(m ORDER BY pos) AS q
+                               FROM u{t} GROUP BY cl) u USING (cl))"""
+    _km = ("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        am AS (SELECT vec_id,
+                      list_max(list_transform(embedding, x -> abs(x))) AS amax
+               FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN am.amax > 0
+                      THEN list_transform(e.embedding,
+                             x -> round(x::DOUBLE
+                                        / (am.amax::DOUBLE / 127.0))::INT)
+                      ELSE list_transform(e.embedding, x -> 0) END AS q
+          FROM e JOIN am USING (vec_id)),
+        c0 AS (
+          SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cl, q
+          FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8))"""
+        + _km_iter.format(t=1, p=0, d=_km_d)
+        + _km_iter.format(t=2, p=1, d=_km_d)
+        + f""",
+        df AS (
+          SELECT v.vec_id, c.cl, {_km_d} AS dist
+          FROM qv v CROSS JOIN c2 c),
+        af AS (
+          SELECT vec_id, cl, dist FROM (
+            SELECT vec_id, cl, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM df) WHERE rn = 1)""")
+    o["kmeans_clusters"] = _km + """
+        SELECT vec_id, cl::INT AS cluster, dist AS dist2 FROM af
+    """
+    # tau = 2/5: dup iff dot > 0 AND 25*dot^2 >= 4*|a|^2*|b|^2 (int-exact)
+    o["semantic_dedup"] = _km + """,
+        nn AS (SELECT vec_id, q,
+                      list_dot_product(q::DOUBLE[], q::DOUBLE[])::BIGINT AS n2
+               FROM qv),
+        dropped AS (
+          SELECT DISTINCT b.vec_id AS vec_id
+          FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+          JOIN nn na ON na.vec_id = a.vec_id
+          JOIN nn nb ON nb.vec_id = b.vec_id
+          WHERE na.n2 > 0 AND nb.n2 > 0
+            AND list_dot_product(na.q::DOUBLE[], nb.q::DOUBLE[])::BIGINT > 0
+            AND 25 * list_dot_product(na.q::DOUBLE[], nb.q::DOUBLE[])::BIGINT
+                   * list_dot_product(na.q::DOUBLE[], nb.q::DOUBLE[])::BIGINT
+                >= 4 * na.n2 * nb.n2)
+        SELECT a.vec_id, a.cl::INT AS cluster
+        FROM af a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
     return o
