@@ -1512,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1934,6 +1935,21 @@ def q_semantic_dedup(spark, sf_dir):
 
     q = quantize_embeddings(_emb(spark, sf_dir))
     return semantic_dedup(q, k=8, iters=2, tau=(2, 5))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Fixed-point BM25 sparse retrieval (Robertson & Zaragoza 2009, k1=1.2
+    b=0.75 as exact rationals, 2^20 scale): 3 query docs against the whole
+    tokenized corpus, top-10 each. All-integer scoring makes this the first
+    retrieval query with a full value-hash oracle; the corpus-side plan is
+    map-only (broadcast query-term semi filter before any aggregation)."""
+    from otel_tail_sampler_spark.operators.retrieval import bm25_topk
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    qs = tok.filter(F.col("doc_id") < "span-000000000003").select(
+        F.col("doc_id").alias("query_id"), "tokens"
+    )
+    return bm25_topk(tok, qs, k=10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3588,5 +3604,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id, a.cl::INT AS cluster
         FROM af a
         WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+    # Fixed-point BM25 (see operators/retrieval.py): HUGEINT replays the
+    # DECIMAL(38,0) intermediates; `//` on positives == Spark's div.
+    o["bm25_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, tokens
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        st AS (SELECT count(*)::BIGINT AS n, sum(len(tokens))::BIGINT AS t
+               FROM tok),
+        qd AS (SELECT DISTINCT doc_id AS query_id, unnest(tokens) AS term
+               FROM tok WHERE doc_id < 'span-000000000003'),
+        qt AS (SELECT DISTINCT term FROM qd),
+        post AS (SELECT doc_id, len(tokens)::BIGINT AS dl,
+                        unnest(tokens) AS term
+                 FROM tok),
+        m AS (SELECT p.* FROM post p JOIN qt USING (term)),
+        tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+               FROM m GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+                       (1048576::HUGEINT
+                          * (2*(SELECT n FROM st) - 2*df + 1))
+                         // (2*df + 1) AS idf_fp
+                FROM dfq),
+        w AS (SELECT qd.query_id, tf.doc_id,
+                     (idf.idf_fp * (44*(SELECT t FROM st))::HUGEINT * tf.tf)
+                       // ((20*(SELECT t FROM st))::HUGEINT * tf.tf
+                           + 6*(SELECT t FROM st)
+                           + (18*(SELECT n FROM st))::HUGEINT * tf.dl) AS w
+              FROM tf JOIN idf USING (term) JOIN qd USING (term)),
+        sc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score_fp
+               FROM w GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score_fp,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_fp DESC, doc_id)
+                       AS rank
+              FROM sc)
+        SELECT query_id, doc_id, score_fp, rank::INT AS rank
+        FROM r WHERE rank <= 10
     """
     return o

@@ -1,0 +1,109 @@
+"""Fixed-point BM25 retrieval (operators/retrieval.py).
+
+The Spark query and DuckDB oracle share the scoring formula, so (per the
+symmetric-bug rule) correctness rests on this independent pure-Python
+reference and hand-checkable planted cases.
+"""
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from otel_tail_sampler_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    ("d0", [1, 2, 3, 1]),
+    ("d1", [1, 4, 4, 4, 5]),
+    ("d2", [2, 3, 6]),
+    ("d3", [7, 8]),
+    ("d4", [1, 2, 2, 3, 3, 3]),
+]
+QUERIES = [("q0", [1, 2]), ("q1", [4, 9]), ("q2", [7])]
+
+
+def _ref(docs, queries, k):
+    n = len(docs)
+    t = sum(len(toks) for _, toks in docs)
+    s = 1 << 20
+    dfreq = Counter()
+    for _, toks in docs:
+        for term in set(toks):
+            dfreq[term] += 1
+    out = {}
+    for qid, qtoks in queries:
+        scores = {}
+        for did, toks in docs:
+            c = Counter(toks)
+            dl = len(toks)
+            sc, hit = 0, False
+            for term in set(qtoks):
+                if term in c:
+                    hit = True
+                    df, tf = dfreq[term], c[term]
+                    idf = (s * (2 * n - 2 * df + 1)) // (2 * df + 1)
+                    sc += (idf * 44 * t * tf) // (
+                        20 * t * tf + 6 * t + 18 * dl * n
+                    )
+            if hit:
+                scores[did] = sc
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (did, sc) in enumerate(ranked, 1):
+            out[(qid, did)] = (sc, rank)
+    return out
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, tokens array<int>")
+
+
+@pytest.fixture()
+def queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id string, tokens array<int>")
+
+
+def test_bm25_matches_scalar_reference(spark, corpus, queries):
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score_fp"], r["rank"])
+        for r in bm25_topk(corpus, queries, k=3).collect()
+    }
+    assert got == _ref(DOCS, QUERIES, k=3)
+
+
+def test_bm25_rare_term_outweighs_common(spark, corpus, queries):
+    # term 7 appears only in d3; q2 = [7] must retrieve d3 first and only
+    rows = bm25_topk(corpus, queries, k=5).filter(
+        F.col("query_id") == "q2"
+    ).collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [("d3", 1)]
+
+
+def test_bm25_no_shared_terms_absent(spark, corpus):
+    qs = spark.createDataFrame(
+        [("qx", [99, 100])], "query_id string, tokens array<int>"
+    )
+    assert bm25_topk(corpus, qs, k=5).count() == 0
+
+
+def test_bm25_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    qs = spark.createDataFrame(
+        [("q", [1])], "query_id string, tokens array<int>"
+    )
+    with pytest.raises(ValueError):
+        bm25_topk(empty, qs)
+
+
+def test_bm25_corpus_side_never_sort_merge_joins(spark, corpus, queries):
+    # query terms broadcast; the corpus explode must hit a broadcast semi
+    # probe, never a corpus-wide SortMergeJoin
+    plan = (
+        bm25_topk(corpus, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
