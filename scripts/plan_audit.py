@@ -322,6 +322,57 @@ def main() -> None:
         ),
     )
 
+    from otel_tail_sampler_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    q001 = quantize_embeddings(emb)
+    cents = kmeans_fit(q001, k=4, iters=1)
+    section(
+        "k-means assignment (integer Lloyd's)",
+        "What to check: PURE PROJECTION — no Join, and no Exchange beyond\n"
+        "the capture harness's pre-spread of the tiny sf0.001 file (the\n"
+        "round-robin Exchange under the scan; absent at lake scale —\n"
+        "tests/test_clustering.py asserts the exchange-free shape on an\n"
+        "unspread input); the k centroids ship as literals inside the\n"
+        "argmin expression, so assignment is O(k*dim) integer ops per row\n"
+        "inside the scan stage.\n"
+        "(The fit's per-iteration update is a separate map-combinable\n"
+        "groupBy(cluster, pos) whose output is k*dim rows — driver-bounded\n"
+        "regardless of corpus size.)",
+        kmeans_assign(q001, cents),
+    )
+
+    section(
+        "SemDeDup within-cluster near-dup removal",
+        "What to check: the pair stage is an EQUI-join on the cluster id\n"
+        "(no CartesianProduct / BroadcastNestedLoopJoin); the survivor\n"
+        "filter is a broadcast-able anti join against the dropped-id set.\n"
+        "Per-cluster fan-out is the knob k controls (SemDeDup sizes\n"
+        "k ~ N / target cluster size).",
+        semantic_dedup(q001, centroids=cents),
+    )
+
+    from otel_tail_sampler_spark.operators.retrieval import bm25_topk
+
+    section(
+        "BM25 fixed-point retrieval",
+        "What to check: the corpus side is MAP-ONLY — query terms arrive\n"
+        "via BroadcastExchange and semi-filter the exploded postings\n"
+        "BEFORE any aggregation (no SortMergeJoin, no corpus-sized\n"
+        "exchange); tf/df aggregate only matched rows; the final window\n"
+        "partitions on query_id over <= |queries| * |matched| rows.",
+        bm25_topk(
+            tokdf,
+            tokdf.filter(F.col("doc_id") < "span-000000000003").select(
+                F.col("doc_id").alias("query_id"), "tokens"
+            ),
+            k=10,
+        ),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"

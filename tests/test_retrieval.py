@@ -96,6 +96,24 @@ def test_bm25_empty_corpus_raises(spark):
         bm25_topk(empty, qs)
 
 
+def test_bm25_index_search_equals_one_shot(spark, corpus, queries, tmp_path):
+    # the standing-index path (one corpus pass, materialized postings)
+    # must rank identically to the stateless two-pass one-shot
+    from otel_tail_sampler_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+
+    post, ts, stats = bm25_index(corpus, out_dir=str(tmp_path))
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score_fp"], r["rank"])
+        for r in bm25_search(post, ts, stats, queries, k=3).collect()
+    }
+    assert got == _ref(DOCS, QUERIES, k=3)
+    # and the materialization actually landed (search reuses it)
+    assert spark.read.parquet(str(tmp_path) + "/postings").count() > 0
+
+
 def test_bm25_corpus_side_never_sort_merge_joins(spark, corpus, queries):
     # query terms broadcast; the corpus explode must hit a broadcast semi
     # probe, never a corpus-wide SortMergeJoin
