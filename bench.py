@@ -154,6 +154,9 @@ def main() -> None:
         "dup_token_spans",
         "corpus_to_shards",
         "bigram_novelty",
+        "bm25_topk",
+        "kmeans_clusters",
+        "semantic_dedup",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5)

@@ -879,3 +879,4 @@ def rates_for_budget(
             rates[s] = 1.0
             active.remove(s)
     return {s: min(1.0, round(r, 9)) for s, r in rates.items()}
+
