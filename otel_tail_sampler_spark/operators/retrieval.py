@@ -114,6 +114,16 @@ def _rank(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_w").cast("bigint").alias("score_fp"))
     )
+    # Hot-query safety: a query whose terms match millions of corpus docs
+    # does NOT funnel its whole candidate set through one window task —
+    # the row_number + rank<=k filter triggers Catalyst's
+    # InferWindowGroupLimit, which plants a PARTIAL WindowGroupLimit below
+    # the exchange (each map partition forwards only its local top-k per
+    # query), so the single per-query task ranks <= k * input-partitions
+    # rows. Guarded by tests/test_retrieval.py (plan assert + planted
+    # hot-query equality); a manual salted two-level election was measured
+    # against this and only adds a second exchange the optimizer's partial
+    # limit makes redundant.
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_fp"), F.asc("doc_id")
     )

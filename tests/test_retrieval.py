@@ -114,6 +114,41 @@ def test_bm25_index_search_equals_one_shot(spark, corpus, queries, tmp_path):
     assert spark.read.parquet(str(tmp_path) + "/postings").count() > 0
 
 
+def test_bm25_hot_query_topk_is_group_limited(spark):
+    # a query whose term matches EVERY corpus doc: the candidate set is
+    # the whole corpus — the regime where a naive per-query window would
+    # funnel everything through one task. The rank<=k filter must trigger
+    # Catalyst's InferWindowGroupLimit so each map partition forwards only
+    # its local top-k BEFORE the exchange (bounded final window input),
+    # and the result must equal the global (score DESC, doc_id ASC)
+    # ranking including cross-partition tie-breaks (planted equal scores).
+    docs = [
+        (f"d{i:04d}", [1] * (1 + i % 3) + [100 + i]) for i in range(300)
+    ]
+    qs = [("hot", [1])]
+    corpus = spark.createDataFrame(
+        docs, "doc_id string, tokens array<int>"
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        qs, "query_id string, tokens array<int>"
+    )
+    res = bm25_topk(corpus, queries, k=10)
+    got = [
+        (r["doc_id"], r["score_fp"], r["rank"])
+        for r in res.orderBy("rank").collect()
+    ]
+    ref = _ref(docs, qs, k=10)
+    want = sorted(
+        ((d, sc, rk) for (_, d), (sc, rk) in ref.items()),
+        key=lambda x: x[2],
+    )
+    assert got == want
+    # the partial (pre-shuffle) group limit is the load-bearing node: it
+    # appears BELOW the exchange feeding the final window
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_bm25_corpus_side_never_sort_merge_joins(spark, corpus, queries):
     # query terms broadcast; the corpus explode must hit a broadcast semi
     # probe, never a corpus-wide SortMergeJoin
