@@ -90,6 +90,12 @@ def kmeans_fit(
     members keeps its previous centroid. Returns the centroid list after
     ``iters`` updates.
 
+    Determinism precondition (same as ``packing.pack_sequences``): the
+    init collect and each iteration are independent Spark jobs over
+    ``df_q``, so the input must be bit-stable across recomputations (a
+    materialized table, not a nondeterministic lineage) — an input that
+    changes between jobs silently shifts centroids mid-fit.
+
     Only (cluster, pos) partial sums cross the wire: the per-iteration
     shuffle carries k*dim groups (map-side combined), and the driver
     collects k*dim ints — independent of corpus size.
