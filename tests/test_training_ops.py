@@ -1033,6 +1033,30 @@ def test_quantized_topk_tracks_float_topk(spark, emb):
         assert e["corpus_id"].iloc[0] == g["corpus_id"].iloc[0], qid
 
 
+def test_topk_windows_are_group_limited(spark, emb):
+    """Every per-query top-k window (ANN family, same shape as BM25's)
+    must keep Catalyst's InferWindowGroupLimit: the rank<=k filter plants
+    a partial WindowGroupLimit below the exchange, so a query matching
+    the whole corpus never funnels its candidate set through one window
+    task. Guard the oracle-checked member of the family."""
+    from otel_tail_sampler_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    cq = quantize_embeddings(emb)
+    qq = quantize_embeddings(emb.filter(F.col("vec_id") < 4)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    plan = (
+        quantized_topk(cq, qq, k=5, query_id="query_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_chunk_documents_hand_computed(spark):
     from otel_tail_sampler_spark.operators.corpus import chunk_documents
 
