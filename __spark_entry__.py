@@ -1513,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "bm25_topk": q_bm25_topk,
+        "ngram_counts": q_ngram_counts,
     }
 
 
@@ -1950,6 +1951,19 @@ def q_bm25_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "tokens"
     )
     return bm25_topk(tok, qs, k=10)
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Capped corpus trigram counts (the KenLM-prep count table;
+    general-n sibling of build_bigram_model): top-1000 trigrams by
+    (freq DESC, gram ASC), gram keyed by comma-joined token ids —
+    string binary ordering is engine-identical, so the cap tie-break
+    is exact. The independent DuckDB formulation (list comprehension
+    slices) guards the zip_with construction."""
+    from otel_tail_sampler_spark.operators.corpus import ngram_counts
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return ngram_counts(tok, n=3, top=1000)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3644,5 +3658,19 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
         SELECT query_id, doc_id, score_fp, rank::INT AS rank
         FROM r WHERE rank <= 10
+    """
+
+    # Trigram counts: independent formulation (list-comprehension slices
+    # vs Spark's zip_with over shifted slices) — no shared gram formula.
+    o["ngram_counts"] = f"""
+        WITH tok AS (
+          SELECT tokens FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        ex AS (
+          SELECT unnest([array_to_string(tokens[i:i+2], ',')
+                         for i in range(1, len(tokens) - 1)]) AS gram
+          FROM tok WHERE len(tokens) >= 3)
+        SELECT gram, count(*)::BIGINT AS freq
+        FROM ex GROUP BY 1
+        ORDER BY freq DESC, gram ASC LIMIT 1000
     """
     return o

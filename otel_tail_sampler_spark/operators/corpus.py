@@ -627,6 +627,60 @@ def score_bigram_novelty(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    top: int = 1 << 20,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Capped corpus n-gram counts: -> (gram string, freq bigint), the
+    ``top`` most frequent length-``n`` token windows, ranked
+    (freq DESC, gram ASC). The general-``n`` sibling of
+    :func:`build_bigram_model` — the count table external LM tooling
+    (KenLM-style) trains from, and the raw material for n-gram overlap
+    audits beyond the fixed bigram/8-gram tiers.
+
+    The gram key is the comma-joined token ids: for n > 2 a gram no
+    longer fits the bigram family's int64 word packing, and binary
+    string ordering is identical in Spark and DuckDB so the cap
+    tie-break stays engine-exact (same argument as the md5-hex ranking
+    family, functions/hashing.py).
+
+    Scale shape: mirrors vocab_histogram/build_bigram_model. Gram
+    construction is n-1 zip_with concats over n shifted slices of the
+    once-cast string array — each lambda touches only its two element
+    args (no per-element outer re-evaluation; the cast array sits in
+    its own projection so CollapseProject cannot re-inline it into
+    every slice). The explode is transient: partial aggregation
+    combines map-side, so the shuffle carries one (gram, partial
+    count) row per distinct gram per split — bounded by distinct-gram
+    cardinality, not corpus size — and the cap is a TakeOrdered over
+    aggregated candidates, never a full sort.
+    """
+    if n < 1:
+        raise ValueError("ngram_counts: n must be >= 1")
+    ts = F.transform(F.col(tok_col), lambda x: x.cast("string"))
+    base = df.select(ts.alias("_ts"), F.size(tok_col).alias("_n"))
+    m = F.col("_n") - (n - 1)
+    g = F.slice(F.col("_ts"), 1, m)
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(F.col("_ts"), j + 1, m),
+            lambda a, b: F.concat(a, F.lit(","), b),
+        )
+    grams = F.when(F.col("_n") >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(int(top))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_len: int = 512,

@@ -894,6 +894,46 @@ def test_bigram_model_counts_and_cap_tiebreak(spark):
     assert capped == [b12, b23]
 
 
+def test_ngram_counts_hand_computed(spark):
+    """Hand-checked trigram counts; short docs contribute nothing; the
+    cap keeps (freq DESC, gram ASC string order); n=1 degrades to the
+    token histogram; negative ids render sign-exactly."""
+    from otel_tail_sampler_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4]), ("b", [5, -3]), ("c", [7]), ("d", [2, 3, 4])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["gram"]: r["freq"] for r in ngram_counts(df, n=3).collect()}
+    assert got == {"1,2,3": 1, "2,3,4": 2}
+    # cap: freq-2 gram first, then freq-1 ties by string order
+    capped = [r["gram"] for r in ngram_counts(df, n=3, top=2).collect()]
+    assert capped == ["2,3,4", "1,2,3"]
+    uni = {r["gram"]: r["freq"] for r in ngram_counts(df, n=1).collect()}
+    assert uni["-3"] == 1 and uni["2"] == 2 and uni["4"] == 2
+    assert ngram_counts(df, n=5).count() == 0
+    with pytest.raises(ValueError):
+        ngram_counts(df, n=0)
+
+
+def test_ngram_counts_plan_is_take_ordered(spark):
+    """The cap must plan as TakeOrdered over the aggregated candidates
+    (never a full global sort), with two-phase hash aggregation."""
+    from otel_tail_sampler_spark.operators.corpus import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4])], "doc_id string, tokens array<int>"
+    )
+    plan = (
+        ngram_counts(df, n=3, top=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
 def test_score_bigram_novelty_scalar_reference(spark):
     """Spark scoring == a pure-python scalar reference on random docs."""
     from otel_tail_sampler_spark.operators.corpus import (
