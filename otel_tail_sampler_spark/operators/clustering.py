@@ -100,6 +100,11 @@ def kmeans_fit(
     shuffle carries k*dim groups (map-side combined), and the driver
     collects k*dim ints — independent of corpus size.
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    # the k*dim interpreted argmin per row is CPU-dense: widen a
+    # single-split input so iterations run cores-wide (no-op at scale)
+    df_q = spread_small_input(df_q)
     init_rows = (
         df_q.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
         .orderBy("_id")
@@ -140,6 +145,9 @@ def kmeans_assign(
     no exchange; assignment cost is O(k*dim) integer ops per row inside
     the scan stage.
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    df_q = spread_small_input(df_q)
     # Chained select: the struct lands in its own projection so the two
     # field reads below can't make CollapseProject re-inline the k-way
     # argmin twice (non-cheap multi-referenced aliases stay put).
@@ -189,6 +197,12 @@ def semantic_dedup(
     cluster-size distribution the caller controls through k (SemDeDup
     sizes k ~ N / desired cluster size).
     """
+    from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    # widen once here: assignment AND the per-pair integer dots below are
+    # interpreted-HOF CPU work; a single-split input would run them on one
+    # core (no-op at scale, and idempotent under the nested spreads)
+    df_q = spread_small_input(df_q)
     if centroids is None:
         centroids = kmeans_fit(df_q, k, iters, id_col, qvec_col)
     a = kmeans_assign(df_q, centroids, id_col, qvec_col).select(id_col, "cluster")
