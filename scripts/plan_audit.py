@@ -373,6 +373,19 @@ def main() -> None:
         ),
     )
 
+    from otel_tail_sampler_spark.operators.corpus import ngram_counts
+
+    section(
+        "Capped n-gram counts",
+        "What to check: the cap plans as TakeOrderedAndProject over a\n"
+        "TWO-PHASE hash aggregation (partial_count below the exchange —\n"
+        "the shuffle carries one (gram, partial count) row per distinct\n"
+        "gram per split, never raw gram occurrences), the once-cast\n"
+        "string array sits in its own Project (no CollapseProject\n"
+        "re-inline into the shifted slices), and there is no global Sort.",
+        ngram_counts(tokdf, n=3, top=1000),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
