@@ -1514,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bm25_topk": q_bm25_topk,
         "ngram_counts": q_ngram_counts,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -1951,6 +1952,28 @@ def q_bm25_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "tokens"
     )
     return bm25_topk(tok, qs, k=10)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE subword tokenizer (Sennrich et al. 2016): merges learned on
+    the 256 smallest-md5(doc_id|'bpe') docs (driver-bounded sample, the
+    IVF-training posture), applied corpus-wide via the shuffle-free
+    word-cached mapInPandas encode. The oracle replays the apply with an
+    INDEPENDENT nested-replace formulation (merge pass == replace-all on
+    the spaced char representation); the shared pure-Python learner is
+    guarded by hand-computed planted tests (tests/test_bpe.py)."""
+    from otel_tail_sampler_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(docs, num_merges=48, sample_docs=256)
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws(",", "pieces")).alias("pieces_md5"),
+    )
 
 
 def q_ngram_counts(spark, sf_dir):
@@ -3672,5 +3695,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT gram, count(*)::BIGINT AS freq
         FROM ex GROUP BY 1
         ORDER BY freq DESC, gram ASC LIMIT 1000
+    """
+
+    # BPE: the shared pure-Python learner runs here on the IDENTICAL
+    # md5-ranked sample (read from the driver's sf0.01 testdata, the same
+    # table the pre-registered `documents` view serves), then the apply is
+    # replayed through an INDEPENDENT nested-replace chain: one merge pass
+    # on the spaced char representation IS replace(' a b ', ' ab ') —
+    # replace-all scan semantics equal greedy left-to-right merging, and a
+    # merged-away pair can never reappear (operators/bpe.py module notes).
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from otel_tail_sampler_spark.operators.bpe import learn_bpe_from_texts
+
+    _dt = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    _pairs = sorted(
+        zip(
+            [str(x) for x in _dt.column("doc_id").to_pylist()],
+            _dt.column("text").to_pylist(),
+        ),
+        key=lambda p: (
+            hashlib.md5(f"{p[0]}|bpe".encode()).hexdigest(),
+            p[0],
+        ),
+    )[:256]
+    _merges = learn_bpe_from_texts([t for _, t in _pairs], 48)
+
+    def _sq(tok: str) -> str:
+        return tok.replace("'", "''")
+
+    _expr = "s"
+    for _a, _b in _merges:
+        _expr = (
+            f"replace({_expr}, ' {_sq(_a)} {_sq(_b)} ', ' {_sq(_a + _b)} ')"
+        )
+    o["bpe_encode"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+          FROM d),
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN nt IS NOT NULL AND nt != ''
+              THEN ' ' || array_to_string(list_transform(
+                     string_split(nt, ' '),
+                     w -> array_to_string(string_split(w, ''), ' ')
+                          || ' </w>'), ' \n ') || ' '
+              ELSE NULL END AS s
+          FROM norm),
+        m AS (SELECT doc_id, {_expr} AS s2 FROM sp),
+        p AS (
+          SELECT doc_id,
+            CASE WHEN s2 IS NULL THEN []::VARCHAR[]
+                 ELSE list_filter(string_split(trim(s2), ' '),
+                                  x -> x != chr(10)) END AS pieces
+          FROM m)
+        SELECT doc_id, len(pieces)::INT AS n_pieces,
+               md5(coalesce(array_to_string(pieces, ','), '')) AS pieces_md5
+        FROM p
     """
     return o

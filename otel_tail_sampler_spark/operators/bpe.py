@@ -1,0 +1,195 @@
+"""Byte-pair-encoding subword tokenizer: driver-side learn, distributed
+apply (Sennrich, Haddow & Birch 2016 — the public subword-nmt scheme).
+
+The split mirrors how production tokenizer training actually runs at
+corpus scale: merges are LEARNED on a bounded deterministic sample (a few
+hundred documents carry the pair statistics that matter — the same
+sample-to-driver posture as ``similarity.ivf_centroids``), then APPLIED
+corpus-wide as a broadcastable merge list. Nothing corpus-sized ever
+reaches the driver, and the apply stage is embarrassingly parallel.
+
+Semantics (identical across all three formulations, which is what makes
+the operator oracle-checkable):
+
+* a word is char-split and suffixed with the ``</w>`` end-of-word marker;
+* merges apply SEQUENTIALLY in learned rank order, each pass merging all
+  left-to-right non-overlapping occurrences of its pair;
+* sequential-pass order equals subword-nmt's min-rank-loop encode because
+  a merged-away pair can never reappear (merges only concatenate — they
+  never make two existing tokens newly adjacent), and replace-all scan
+  semantics equal greedy left-to-right merging (scanning resumes after
+  each replacement, so ``a a a`` -> ``aa a`` in both).
+
+That last property is the oracle bridge: on the space-joined char
+representation, one merge pass IS ``replace(' a b ', ' ab ')`` — so DuckDB
+replays the whole encode as a nested replace chain with the merge list
+embedded as literals, an INDEPENDENT formulation of the apply (the Spark
+side encodes with a per-word greedy loop, never string replace). The
+learner itself is shared pure Python, so its correctness rests on planted
+hand-computed cases (the symmetric-bug rule, tests/test_bpe.py).
+
+Whitespace contract: words come from the same normalize -> trim -> split
+pipeline as ``text.hash_tokenize`` (runs of any whitespace collapse;
+Python ``re`` and Java regex agree on ``\\s`` including \\x0B, DuckDB/RE2
+diverges only on that code point — documented there).
+
+Scale shape: learn = one bounded orderBy-limit collect (smallest
+md5(doc_id|'bpe') ranks — the engine-portable sampling family,
+functions/hashing.py). Apply = mapInPandas projection, zero shuffle; the
+merge table rides the closure (a few KiB) and a per-batch word->pieces
+cache makes the encode vocabulary-rate rather than token-rate (Zipf: each
+distinct word in a batch is encoded once).
+
+Reference parity: the reference engine has no tokenizer tier; this is
+part of the training-data extension the graft adds.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+END = "</w>"
+
+
+def _py_words(text: str | None) -> list[str]:
+    """Python twin of the hash_tokenize whitespace contract."""
+    if text is None:
+        return []
+    norm = re.sub(r"\s+", " ", text).strip()
+    return norm.split(" ") if norm else []
+
+
+def _merge_seq(seq: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """One merge pass: left-to-right non-overlapping, scan resumes after
+    each merge (== string replace-all on the spaced representation)."""
+    a, b = pair
+    out: list[str] = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_from_texts(
+    texts: list[str | None], num_merges: int = 64
+) -> list[tuple[str, str]]:
+    """Pure-Python BPE learner (driver-side; deterministic).
+
+    Tie-break: (pair count DESC, pair lexicographic ASC) — reruns and the
+    oracle replica produce the identical merge list.
+    """
+    wordfreq: Counter = Counter()
+    for t in texts:
+        wordfreq.update(_py_words(t))
+    seqs: dict[str, tuple[str, ...]] = {
+        w: tuple(list(w) + [END]) for w in wordfreq
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pairs: Counter = Counter()
+        for w, f in wordfreq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        seqs = {w: _merge_seq(s, best) for w, s in seqs.items()}
+    return merges
+
+
+def encode_word(w: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """Greedy rank-order encode of one word (chars + END, then every merge
+    pass in order)."""
+    s = tuple(list(w) + [END])
+    for m in merges:
+        if len(s) < 2:
+            break
+        s = _merge_seq(s, m)
+    return s
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    num_merges: int = 64,
+    sample_docs: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn BPE merges on a bounded deterministic sample of ``df``.
+
+    The sample is the ``sample_docs`` smallest md5(id|'bpe') hex ranks
+    (engine-portable: the oracle replica selects the identical sample from
+    the same parquet with pure Python md5). The collect is bounded by
+    ``sample_docs`` regardless of corpus size.
+    """
+    rows = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .withColumn("_r", F.md5(F.concat_ws("|", F.col("_id"), F.lit("bpe"))))
+        .orderBy("_r", "_id")
+        .limit(int(sample_docs))
+        .collect()
+    )
+    return learn_bpe_from_texts([r["_t"] for r in rows], num_merges)
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a learned merge list:
+    -> (id, pieces array<string>, n_pieces int).
+
+    mapInPandas projection — no shuffle; merges ride the closure; a
+    per-batch word cache encodes each distinct word once (vocabulary-rate,
+    not token-rate). NULL/empty text -> empty pieces (the hash_tokenize
+    contract).
+    """
+    import pandas as pd
+
+    mlist = [(str(a), str(b)) for a, b in merges]
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in it:
+            if not len(pdf):
+                continue  # empty frames break Arrow array-type inference
+            pieces_col: list[list[str]] = []
+            n_col: list[int] = []
+            for t in pdf[text_col]:
+                ps: list[str] = []
+                for w in _py_words(t):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, mlist)
+                        cache[w] = enc
+                    ps.extend(enc)
+                pieces_col.append(ps)
+                n_col.append(len(ps))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces_col,
+                    "n_pieces": n_col,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, f"{id_col} {id_type}, pieces array<string>, n_pieces int"
+    )

@@ -1,0 +1,117 @@
+"""BPE learn/apply (operators/bpe.py).
+
+The learner is shared pure Python between the Spark query and the oracle
+replica, so (per the symmetric-bug rule) its correctness rests on the
+hand-computed planted cases here; the apply has an independent
+replace-chain formulation (mirrored by the DuckDB oracle) that the
+equivalence test exercises.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from otel_tail_sampler_spark.operators.bpe import (
+    END,
+    apply_bpe,
+    encode_word,
+    learn_bpe_from_texts,
+    learn_bpe_merges,
+)
+
+TEXTS = ["low low low", "lower", "newest newest"]
+
+
+def test_learn_hand_computed_merges():
+    # wordfreq: low:3 lower:1 newest:2
+    # round 1: (l,o)=4 ties (o,w)=4 -> lexicographic min ('l','o')
+    # round 2: ('lo','w')=4
+    # round 3: ('low', END)=3
+    assert learn_bpe_from_texts(TEXTS, num_merges=3) == [
+        ("l", "o"),
+        ("lo", "w"),
+        ("low", END),
+    ]
+
+
+def test_learn_is_deterministic_and_bounded():
+    m1 = learn_bpe_from_texts(TEXTS, num_merges=50)
+    m2 = learn_bpe_from_texts(TEXTS, num_merges=50)
+    assert m1 == m2
+    # a tiny corpus runs out of pairs before 50 merges: learner stops
+    assert len(m1) < 50
+
+
+def test_encode_word_hand_computed():
+    merges = learn_bpe_from_texts(TEXTS, num_merges=3)
+    assert encode_word("low", merges) == ("low" + END,)
+    assert encode_word("lowest", merges) == ("low", "e", "s", "t", END)
+    # unseen chars pass through as singles
+    assert encode_word("loz", merges) == ("lo", "z", END)
+
+
+def test_merge_pass_is_left_to_right_nonoverlapping():
+    # 'a a a' -> 'aa a' (replace-all semantics, scan resumes after merge)
+    assert encode_word("aaa", [("a", "a")]) == ("aa", "a", END)
+    assert encode_word("aaaa", [("a", "a")]) == ("aa", "aa", END)
+
+
+def _replace_chain_encode(word: str, merges) -> list[str]:
+    """The INDEPENDENT formulation the DuckDB oracle uses: nested
+    replace(' a b ', ' ab ') on the space-joined char representation."""
+    s = " " + " ".join(list(word) + [END]) + " "
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a + b} ")
+    return s.split()
+
+
+def test_encode_equals_replace_chain():
+    merges = learn_bpe_from_texts(TEXTS, num_merges=10)
+    for w in ["low", "lower", "newest", "lowest", "wen", "aaa", "x", "low</w>x"]:
+        assert list(encode_word(w, merges)) == _replace_chain_encode(w, merges), w
+
+
+def test_apply_bpe_spark_matches_reference(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "low lower"),
+            ("b", "newest  low\tnewest"),  # whitespace-run contract
+            ("c", ""),
+            ("d", None),
+        ],
+        "doc_id string, text string",
+    )
+    merges = learn_bpe_from_texts(TEXTS, num_merges=3)
+    got = {
+        r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in apply_bpe(df, merges).collect()
+    }
+    low = ["low" + END]
+    lower = ["low", "e", "r", END]
+    newest = ["n", "e", "w", "e", "s", "t", END]
+    assert got["a"] == (low + lower, 5)
+    assert got["b"] == (newest + low + newest, 15)
+    assert got["c"] == ([], 0)
+    assert got["d"] == ([], 0)
+
+
+def test_learn_bpe_merges_sample_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", "low lower newest" if i % 2 else "low low")
+         for i in range(40)],
+        "doc_id string, text string",
+    )
+    m1 = learn_bpe_merges(df, num_merges=5, sample_docs=16)
+    m2 = learn_bpe_merges(df, num_merges=5, sample_docs=16)
+    assert m1 == m2 and len(m1) == 5
+
+
+def test_apply_bpe_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([("a", "low")], "doc_id string, text string")
+    plan = (
+        apply_bpe(df, [("l", "o")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
