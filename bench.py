@@ -157,6 +157,8 @@ def main() -> None:
         "bm25_topk",
         "kmeans_clusters",
         "semantic_dedup",
+        "ngram_counts",
+        "bpe_encode",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5)
