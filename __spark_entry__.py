@@ -1515,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ngram_counts": q_ngram_counts,
         "bpe_encode": q_bpe_encode,
+        "bpe_encode_ids": q_bpe_encode_ids,
     }
 
 
@@ -1973,6 +1974,27 @@ def q_bpe_encode(spark, sf_dir):
         "doc_id",
         "n_pieces",
         F.md5(F.concat_ws(",", "pieces")).alias("pieces_md5"),
+    )
+
+
+def q_bpe_encode_ids(spark, sf_dir):
+    """BPE straight to dense ids (UNK=0 for out-of-sample chars): the
+    learned-tokenizer bridge into the input_hint tokenized shape — raw
+    text becomes (doc_id, tokens array<int>, n_tok) that pack/shard/
+    remap/dup-span compose with. Oracle replays pieces via the
+    nested-replace chain, then maps through the vocab embedded as a
+    VALUES table (lockstep-unnest positional join)."""
+    from otel_tail_sampler_spark.operators.bpe import (
+        apply_bpe_ids,
+        learn_bpe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges, vocab = learn_bpe(docs, num_merges=48, sample_docs=256)
+    return apply_bpe_ids(docs, merges, vocab).select(
+        "doc_id",
+        "n_tok",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
     )
 
 
@@ -3758,5 +3780,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, len(pieces)::INT AS n_pieces,
                md5(coalesce(array_to_string(pieces, ','), '')) AS pieces_md5
         FROM p
+    """
+
+    # BPE to dense ids: same pieces CTE, then the deterministic vocab
+    # (alphabet ∪ END ∪ merge products, sorted, ids from 1; UNK=0)
+    # embedded as VALUES and applied positionally via lockstep unnest.
+    from otel_tail_sampler_spark.operators.bpe import (
+        bpe_vocab,
+        sample_alphabet,
+    )
+
+    _vocab = bpe_vocab(_merges, sample_alphabet([t for _, t in _pairs]))
+    _vrows = ", ".join(
+        f"('{_sq(p)}', {i})" for p, i in sorted(_vocab.items())
+    )
+    o["bpe_encode_ids"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+          FROM d),
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN nt IS NOT NULL AND nt != ''
+              THEN ' ' || array_to_string(list_transform(
+                     string_split(nt, ' '),
+                     w -> array_to_string(string_split(w, ''), ' ')
+                          || ' </w>'), ' \n ') || ' '
+              ELSE NULL END AS s
+          FROM norm),
+        m AS (SELECT doc_id, {_expr} AS s2 FROM sp),
+        p AS (
+          SELECT doc_id,
+            CASE WHEN s2 IS NULL THEN []::VARCHAR[]
+                 ELSE list_filter(string_split(trim(s2), ' '),
+                                  x -> x != chr(10)) END AS pieces
+          FROM m),
+        v(piece, id) AS (VALUES {_vrows}),
+        px AS (
+          SELECT doc_id, unnest(pieces) AS piece,
+                 unnest(range(1, len(pieces) + 1)) AS pos
+          FROM p),
+        ids AS (
+          SELECT px.doc_id, px.pos, coalesce(v.id, 0) AS tid
+          FROM px LEFT JOIN v ON px.piece = v.piece),
+        agg AS (
+          SELECT doc_id, list(tid ORDER BY pos) AS toks
+          FROM ids GROUP BY doc_id)
+        SELECT p.doc_id, coalesce(len(agg.toks), 0)::INT AS n_tok,
+               md5(coalesce(array_to_string(agg.toks, ','), ''))
+                 AS tokens_md5
+        FROM p LEFT JOIN agg USING (doc_id)
     """
     return o

@@ -146,6 +146,97 @@ def learn_bpe_merges(
     return learn_bpe_from_texts([r["_t"] for r in rows], num_merges)
 
 
+def sample_alphabet(texts: list[str | None]) -> list[str]:
+    """Sorted distinct characters of the sample's words (the base symbol
+    inventory a learned vocab must cover)."""
+    return sorted({c for t in texts for w in _py_words(t) for c in w})
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """piece -> dense id. Pieces = alphabet ∪ {END} ∪ merge products,
+    sorted ascending, ids 1..V; id 0 is reserved for UNK (a character the
+    sample never saw). Deterministic given (merges, alphabet), so the
+    oracle replica embeds the identical table as literals."""
+    pieces = sorted(set(alphabet) | {END} | {a + b for a, b in merges})
+    return {p: i + 1 for i, p in enumerate(pieces)}
+
+
+def learn_bpe(
+    df: DataFrame,
+    num_merges: int = 64,
+    sample_docs: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """One bounded sample collect -> (merges, vocab). The id-emitting
+    sibling of :func:`learn_bpe_merges` for pipelines that need the
+    ``tokens array<int>`` shape downstream."""
+    rows = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .withColumn("_r", F.md5(F.concat_ws("|", F.col("_id"), F.lit("bpe"))))
+        .orderBy("_r", "_id")
+        .limit(int(sample_docs))
+        .collect()
+    )
+    texts = [r["_t"] for r in rows]
+    merges = learn_bpe_from_texts(texts, num_merges)
+    return merges, bpe_vocab(merges, sample_alphabet(texts))
+
+
+def apply_bpe_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents straight to dense ids:
+    -> (id, tokens array<int>, n_tok int) — the input_hint tokenized
+    shape, so a learned-BPE corpus composes with every token-level
+    operator (pack / shard / remap / dup-span) exactly like
+    ``text.hash_tokenize`` output. Unknown pieces (characters outside
+    the sample alphabet) map to UNK id 0. Same shuffle-free word-cached
+    mapInPandas shape as :func:`apply_bpe` (the cache holds id tuples,
+    so the vocab lookup is also vocabulary-rate)."""
+    import pandas as pd
+
+    mlist = [(str(a), str(b)) for a, b in merges]
+    vmap = dict(vocab)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, tuple[int, ...]] = {}
+        for pdf in it:
+            if not len(pdf):
+                continue  # empty frames break Arrow array-type inference
+            toks_col: list[list[int]] = []
+            n_col: list[int] = []
+            for t in pdf[text_col]:
+                ids: list[int] = []
+                for w in _py_words(t):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = tuple(
+                            vmap.get(p, 0) for p in encode_word(w, mlist)
+                        )
+                        cache[w] = enc
+                    ids.extend(enc)
+                toks_col.append(ids)
+                n_col.append(len(ids))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "tokens": toks_col, "n_tok": n_col}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, f"{id_col} {id_type}, tokens array<int>, n_tok int"
+    )
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],

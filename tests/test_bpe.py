@@ -106,6 +106,85 @@ def test_learn_bpe_merges_sample_is_deterministic(spark):
     assert m1 == m2 and len(m1) == 5
 
 
+def test_bpe_vocab_and_ids_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.bpe import (
+        apply_bpe_ids,
+        bpe_vocab,
+        sample_alphabet,
+    )
+
+    merges = learn_bpe_from_texts(TEXTS, num_merges=3)
+    alpha = sample_alphabet(TEXTS)
+    assert alpha == ["e", "l", "n", "o", "r", "s", "t", "w"]
+    vocab = bpe_vocab(merges, alpha)
+    # pieces sorted asc: </w>, e, l, lo, low, low</w>, n, o, r, s, t, w
+    assert vocab[END] == 1 and vocab["low" + END] == 6
+    assert 0 not in vocab.values()  # 0 reserved for UNK
+
+    df = spark.createDataFrame(
+        [("a", "low lowz"), ("b", None)], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+        for r in apply_bpe_ids(df, merges, vocab).collect()
+    }
+    # low -> [low</w>]; lowz -> [low, z(UNK=0), </w>]
+    assert got["a"] == (
+        [vocab["low" + END], vocab["low"], 0, vocab[END]],
+        4,
+    )
+    assert got["b"] == ([], 0)
+
+
+def test_bpe_ids_match_pieces_through_vocab(spark):
+    from otel_tail_sampler_spark.operators.bpe import (
+        apply_bpe_ids,
+        bpe_vocab,
+        sample_alphabet,
+    )
+
+    merges = learn_bpe_from_texts(TEXTS, num_merges=5)
+    vocab = bpe_vocab(merges, sample_alphabet(TEXTS))
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(TEXTS + ["unseen chars xyz?!"])],
+        "doc_id string, text string",
+    )
+    pieces = {
+        r["doc_id"]: list(r["pieces"]) for r in apply_bpe(df, merges).collect()
+    }
+    ids = {
+        r["doc_id"]: list(r["tokens"])
+        for r in apply_bpe_ids(df, merges, vocab).collect()
+    }
+    assert ids == {
+        k: [vocab.get(p, 0) for p in v] for k, v in pieces.items()
+    }
+
+
+def test_bpe_ids_compose_with_packing(spark):
+    """The ids output IS the input_hint tokenized shape: pack_sequences
+    consumes it directly (raw text -> learned subword ids -> training
+    examples, end to end)."""
+    from otel_tail_sampler_spark.operators.bpe import (
+        apply_bpe_ids,
+        learn_bpe,
+    )
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", "low lower newest low " * 4) for i in range(12)],
+        "doc_id string, text string",
+    )
+    merges, vocab = learn_bpe(df, num_merges=6, sample_docs=8)
+    toks = apply_bpe_ids(df, merges, vocab)
+    packed = pack_sequences(toks, max_len=16).collect()
+    total = sum(
+        r["n_tok"] for r in toks.select("n_tok").collect()
+    )
+    assert len(packed) == total // 16
+    assert all(len(r["tokens"]) == 16 for r in packed)
+
+
 def test_apply_bpe_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([("a", "low")], "doc_id string, text string")
     plan = (
