@@ -1516,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "bpe_encode": q_bpe_encode,
         "bpe_encode_ids": q_bpe_encode_ids,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -1995,6 +1996,28 @@ def q_bpe_encode_ids(spark, sf_dir):
         "doc_id",
         "n_tok",
         F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al. 2020) over the tokenized
+    table: deterministic block grid (block 32, span 8, rate 0.25 — spans
+    never overlap by construction, which is what makes the objective
+    SQL-replayable), sentinel-numbered inputs + targets with the final
+    sentinel terminator."""
+    from otel_tail_sampler_spark.operators.augment import span_corruption
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    out = span_corruption(
+        tok, sentinel_base=-100, block=32, span_len=8, rate=0.25, seed="t5"
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        F.size("inputs").alias("n_input"),
+        F.size("targets").alias("n_target"),
+        F.md5(F.concat_ws(",", "inputs")).alias("inputs_md5"),
+        F.md5(F.concat_ws(",", "targets")).alias("targets_md5"),
     )
 
 
@@ -3831,5 +3854,56 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(array_to_string(agg.toks, ','), ''))
                  AS tokens_md5
         FROM p LEFT JOIN agg USING (doc_id)
+    """
+
+    # T5 span corruption: block grid replay (exclusive prefix counts via
+    # list_filter over the corr prefix — independent of the Spark
+    # slice-filter formulation only in spelling; the planted scalar-
+    # reference test is the real guard per the symmetric-bug rule).
+    _t5h = _hfrac_sql("doc_id || ':' || b::VARCHAR", "t5")
+    o["span_corruption"] = f"""
+        WITH tok AS (
+          SELECT doc_id, tokens
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        base AS (
+          SELECT doc_id, tokens, len(tokens) AS n,
+                 CASE WHEN len(tokens) > 0
+                      THEN (len(tokens) + 31) // 32 ELSE 0 END AS nb
+          FROM tok),
+        c AS (
+          SELECT doc_id, tokens, n, nb,
+                 [{_t5h} < 0.25 for b in range(0, nb)] AS corr
+          FROM base),
+        k AS (
+          SELECT *, [len(list_filter(corr[1:b], x -> x))
+                     for b in range(0, nb)] AS kex
+          FROM c),
+        io AS (
+          SELECT doc_id, n,
+            flatten([CASE WHEN corr[b+1]
+                 THEN [-100 - kex[b+1]]
+                      || tokens[b*32+9 : least((b+1)*32, n)]
+                 ELSE tokens[b*32+1 : least((b+1)*32, n)] END
+               for b in range(0, nb)]) AS inputs,
+            flatten([CASE WHEN corr[b+1]
+                 THEN [-100 - kex[b+1]]
+                      || tokens[b*32+1 : least(b*32+8, n)]
+                 ELSE []::INT[] END for b in range(0, nb)]) AS tbody,
+            len(list_filter(corr, x -> x)) AS ns
+          FROM k),
+        fin AS (
+          SELECT doc_id,
+            CASE WHEN n > 0 THEN inputs ELSE []::INT[] END AS inputs,
+            CASE WHEN n > 0 THEN tbody || [-100 - ns]
+                 ELSE []::INT[] END AS targets,
+            CASE WHEN n > 0 THEN ns ELSE 0 END AS n_spans
+          FROM io)
+        SELECT doc_id, n_spans::INT AS n_spans,
+               len(inputs)::INT AS n_input, len(targets)::INT AS n_target,
+               md5(coalesce(array_to_string(inputs, ','), ''))
+                 AS inputs_md5,
+               md5(coalesce(array_to_string(targets, ','), ''))
+                 AS targets_md5
+        FROM fin
     """
     return o

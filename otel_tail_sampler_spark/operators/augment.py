@@ -76,6 +76,124 @@ def fim_transform(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    sentinel_base: int = -100,
+    block: int = 32,
+    span_len: int = 8,
+    rate: float = 0.25,
+    seed: str = "t5",
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Deterministic T5-style span corruption (Raffel et al. 2020): the
+    denoising objective next to :func:`mask_tokens` (MLM) and
+    :func:`fim_transform` (causal infilling).
+    -> (input columns, ``inputs array<int>``, ``targets array<int>``,
+    ``n_spans int``).
+
+    Documents are cut into fixed ``block``-token blocks; block b is
+    corrupted iff md5-frac(doc_id:b|seed) < ``rate``, and a corrupted
+    block loses its FIRST ``span_len`` tokens (clipped at the document
+    end). Spans therefore never overlap BY CONSTRUCTION — the sequential
+    overlap-resolution of the sampled-span recipe is what defeats both
+    SQL replay and parallel determinism, so the block grid is the
+    Spark-first formulation (expected corrupted token fraction =
+    rate * span_len / block). The k-th corrupted span (k = 0,1,...) is
+    replaced by sentinel id ``sentinel_base - k`` in ``inputs``;
+    ``targets`` is the concatenation of each sentinel + its original
+    span, terminated by the final sentinel ``sentinel_base - n_spans``
+    (the T5 layout). Reserve ids at/below ``sentinel_base`` outside the
+    vocabulary. Empty documents emit empty inputs AND empty targets.
+
+    Scale shape: scan-time projection, no shuffle, no Python. The
+    per-block corruption flags and exclusive prefix counts land in their
+    OWN projections (chained selects), so the HOF lambdas reference bare
+    columns — the per-element outer-expression re-evaluation trap
+    (functions/spread.py notes) never fires. Per-block prefix counts are
+    O(nb^2) slice-filters with nb = ceil(n/block) — single digits for
+    real documents.
+    """
+    if span_len > block:
+        raise ValueError("span_corruption: span_len must be <= block")
+    B, L, sb = int(block), int(span_len), int(sentinel_base)
+    t = F.col(tok_col)
+    n = F.size(tok_col)
+    key = F.col(id_col).cast("string")
+
+    nb = F.floor((n + F.lit(B - 1)) / F.lit(B)).cast("int")
+    blocks = F.when(n > 0, F.sequence(F.lit(0), nb - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    corr = F.transform(
+        F.col("_blocks"),
+        lambda b: hash_frac(
+            F.concat(key, F.lit(":"), b.cast("string")), seed
+        )
+        < float(rate),
+    )
+    step1 = df.withColumn("_blocks", blocks).withColumn("_corr", corr)
+
+    # exclusive prefix count of corrupted blocks (k index per block)
+    kex = F.transform(
+        F.col("_blocks"),
+        lambda b: F.size(
+            F.filter(F.slice(F.col("_corr"), 1, b), lambda x: x)
+        ),
+    )
+    step2 = step1.withColumn("_kex", kex)
+
+    def span_start(b):  # 1-based slice start of block b's span
+        return b * F.lit(B) + 1
+
+    def block_end(b):  # last token index (1-based) of block b
+        return F.least((b + 1) * F.lit(B), n)
+
+    per_block_in = F.transform(
+        F.col("_blocks"),
+        lambda b, i: F.when(
+            F.get(F.col("_corr"), i),
+            F.concat(
+                F.array(F.lit(sb) - F.get(F.col("_kex"), i)),
+                F.slice(
+                    t,
+                    span_start(b) + F.lit(L),
+                    F.greatest(
+                        block_end(b) - b * F.lit(B) - F.lit(L), F.lit(0)
+                    ),
+                ),
+            ),
+        ).otherwise(F.slice(t, span_start(b), block_end(b) - b * F.lit(B))),
+    )
+    per_block_tg = F.transform(
+        F.col("_blocks"),
+        lambda b, i: F.when(
+            F.get(F.col("_corr"), i),
+            F.concat(
+                F.array(F.lit(sb) - F.get(F.col("_kex"), i)),
+                F.slice(
+                    t,
+                    span_start(b),
+                    F.least(F.lit(L), n - b * F.lit(B)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    n_spans = F.size(F.filter(F.col("_corr"), lambda x: x)).cast("int")
+    targets = F.when(
+        n > 0,
+        F.concat(
+            F.flatten(per_block_tg), F.array(F.lit(sb) - n_spans)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        step2.withColumn("inputs", F.flatten(per_block_in).cast("array<int>"))
+        .withColumn("targets", targets.cast("array<int>"))
+        .withColumn("n_spans", n_spans)
+        .drop("_blocks", "_corr", "_kex")
+    )
+
+
 def mask_tokens(
     df: DataFrame,
     mask_id: int,

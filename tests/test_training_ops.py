@@ -869,6 +869,88 @@ def test_fim_transform_is_pure_projection(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan
 
 
+def test_span_corruption_matches_scalar_reference(spark):
+    """Spark output == a pure-python replay of the block grid (hash
+    selection, sentinel numbering, clipped tail spans, final sentinel)."""
+    import hashlib
+
+    from otel_tail_sampler_spark.operators.augment import span_corruption
+
+    def hfrac(key, seed):
+        return (
+            int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:8], 16)
+            / 2**32
+        )
+
+    def ref(doc_id, toks, sb=-100, B=4, L=2, rate=0.5, seed="t5"):
+        n = len(toks)
+        if n == 0:
+            return [], [], 0
+        nb = (n + B - 1) // B
+        corr = [hfrac(f"{doc_id}:{b}", seed) < rate for b in range(nb)]
+        inputs, targets, k = [], [], 0
+        for b in range(nb):
+            lo, hi = b * B, min((b + 1) * B, n)
+            if corr[b]:
+                inputs += [sb - k] + toks[lo + L : hi]
+                targets += [sb - k] + toks[lo : min(lo + L, n)]
+                k += 1
+            else:
+                inputs += toks[lo:hi]
+        targets += [sb - k]
+        return inputs, targets, k
+
+    rows = [
+        ("a", list(range(10))),
+        ("b", [7]),  # single short block
+        ("c", []),  # empty doc: empty inputs AND targets
+        ("d", list(range(100, 117))),  # clipped tail block
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r["doc_id"]: (list(r["inputs"]), list(r["targets"]), r["n_spans"])
+        for r in span_corruption(
+            df, block=4, span_len=2, rate=0.5, seed="t5"
+        ).collect()
+    }
+    assert got == {d: ref(d, t) for d, t in rows}
+
+
+def test_span_corruption_reconstructs_and_is_pure_projection(spark):
+    """inputs+targets carry exactly the original tokens (the denoising
+    round trip), n_spans sentinels appear in both sides, and the plan is
+    a shuffle-free projection with ONE md5 site (the corruption flags are
+    computed once, never re-inlined per block)."""
+    from otel_tail_sampler_spark.operators.augment import span_corruption
+
+    df = spark.createDataFrame(
+        [(f"d{i}", list(range(i * 7, i * 7 + 23))) for i in range(20)],
+        "doc_id string, tokens array<int>",
+    )
+    out = span_corruption(df, block=8, span_len=3, rate=0.6).collect()
+    assert any(r["n_spans"] > 0 for r in out)
+    for r in out:
+        orig = list(r["tokens"])
+        sentinels_in = [x for x in r["inputs"] if x <= -100]
+        kept = [x for x in r["inputs"] if x > -100]
+        spans = [x for x in r["targets"] if x > -100]
+        # round trip: non-sentinel inputs + targets == original multiset,
+        # and order within each side is preserved
+        assert sorted(kept + spans) == sorted(orig)
+        assert len(sentinels_in) == r["n_spans"]
+        # targets end with the final sentinel -(100 + n_spans)
+        assert r["targets"][-1] == -100 - r["n_spans"]
+    plan = (
+        span_corruption(df, block=8, span_len=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and plan.count("md5(") == 1
+    with pytest.raises(ValueError):
+        span_corruption(df, block=4, span_len=5)
+
+
 def test_bigram_model_counts_and_cap_tiebreak(spark):
     """Hand-checked counts; the cap keeps (freq DESC, bigram ASC)."""
     from otel_tail_sampler_spark.operators.corpus import build_bigram_model
