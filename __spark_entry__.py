@@ -44,6 +44,14 @@ ENTRY_CFG = SamplerConfig(
 
 _ORACLE_SF = "0.01"
 
+# The driver's testdata dir whose `documents` view backs the oracle SQL;
+# oracle builders that must READ it at SQL-generation time (the BPE
+# learner replica) resolve through this ONE constant so a relocated
+# harness fails loudly in one place (env override for local replicas).
+_ORACLE_TESTDATA = os.environ.get(
+    "SPARK_GRAFT_ORACLE_TESTDATA", "/root/testdata/sf0.01"
+)
+
 
 def _dataset(sf_dir: str) -> dict[str, str]:
     from otel_tail_sampler_spark.sources.generator import (
@@ -3743,12 +3751,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # BPE: the shared pure-Python learner runs here on the IDENTICAL
-    # md5-ranked sample (read from the driver's sf0.01 testdata, the same
-    # table the pre-registered `documents` view serves), then the apply is
-    # replayed through an INDEPENDENT nested-replace chain: one merge pass
-    # on the spaced char representation IS replace(' a b ', ' ab ') —
-    # replace-all scan semantics equal greedy left-to-right merging, and a
-    # merged-away pair can never reappear (operators/bpe.py module notes).
+    # md5-ranked sample (read from the driver's testdata — the same table
+    # the pre-registered `documents` view serves), then the apply is
+    # replayed through an INDEPENDENT nested-replace chain over the
+    # NEWLINE-FRAMED token representation: each token owns BOTH its
+    # delimiters ("\n t \n", adjacent frames -> 2-newline gap, words
+    # separated by a 4-newline gap no pattern can span), so framed-pattern
+    # matches can never overlap and replace-all == greedy left-to-right
+    # EXACTLY, adjacent same-pair occurrences included (a single-space
+    # form is NOT equivalent: 'papa' with merge (p,a) merges only once —
+    # operators/bpe.py module notes).
     import hashlib
 
     import pyarrow.parquet as pq
@@ -3756,7 +3768,7 @@ def oracle_sql() -> dict[str, str]:
     from otel_tail_sampler_spark.operators.bpe import learn_bpe_from_texts
 
     _dt = pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        f"{_ORACLE_TESTDATA}/documents.parquet", columns=["doc_id", "text"]
     )
     _pairs = sorted(
         zip(
@@ -3776,9 +3788,12 @@ def oracle_sql() -> dict[str, str]:
     _expr = "s"
     for _a, _b in _merges:
         _expr = (
-            f"replace({_expr}, ' {_sq(_a)} {_sq(_b)} ', ' {_sq(_a + _b)} ')"
+            f"replace({_expr}, '\n{_sq(_a)}\n\n{_sq(_b)}\n',"
+            f" '\n{_sq(_a + _b)}\n')"
         )
-    o["bpe_encode"] = f"""
+    # shared CTE prefix: normalize -> newline-framed tokens -> replace
+    # chain -> pieces (split on newlines, drop the empty gap artifacts)
+    _bpe_pieces_cte = f"""
         WITH d AS (SELECT doc_id, text FROM documents),
         norm AS (
           SELECT doc_id,
@@ -3787,19 +3802,23 @@ def oracle_sql() -> dict[str, str]:
         sp AS (
           SELECT doc_id,
             CASE WHEN nt IS NOT NULL AND nt != ''
-              THEN ' ' || array_to_string(list_transform(
+              THEN array_to_string(list_transform(
                      string_split(nt, ' '),
-                     w -> array_to_string(string_split(w, ''), ' ')
-                          || ' </w>'), ' \n ') || ' '
+                     w -> array_to_string(list_transform(
+                            string_split(w, '') || ['</w>'],
+                            c -> chr(10) || c || chr(10)), '')),
+                   chr(10) || chr(10))
               ELSE NULL END AS s
           FROM norm),
         m AS (SELECT doc_id, {_expr} AS s2 FROM sp),
         p AS (
           SELECT doc_id,
             CASE WHEN s2 IS NULL THEN []::VARCHAR[]
-                 ELSE list_filter(string_split(trim(s2), ' '),
-                                  x -> x != chr(10)) END AS pieces
-          FROM m)
+                 ELSE list_filter(string_split(s2, chr(10)),
+                                  x -> x != '') END AS pieces
+          FROM m)"""
+    o["bpe_encode"] = f"""
+        {_bpe_pieces_cte}
         SELECT doc_id, len(pieces)::INT AS n_pieces,
                md5(coalesce(array_to_string(pieces, ','), '')) AS pieces_md5
         FROM p
@@ -3818,27 +3837,7 @@ def oracle_sql() -> dict[str, str]:
         f"('{_sq(p)}', {i})" for p, i in sorted(_vocab.items())
     )
     o["bpe_encode_ids"] = f"""
-        WITH d AS (SELECT doc_id, text FROM documents),
-        norm AS (
-          SELECT doc_id,
-                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
-          FROM d),
-        sp AS (
-          SELECT doc_id,
-            CASE WHEN nt IS NOT NULL AND nt != ''
-              THEN ' ' || array_to_string(list_transform(
-                     string_split(nt, ' '),
-                     w -> array_to_string(string_split(w, ''), ' ')
-                          || ' </w>'), ' \n ') || ' '
-              ELSE NULL END AS s
-          FROM norm),
-        m AS (SELECT doc_id, {_expr} AS s2 FROM sp),
-        p AS (
-          SELECT doc_id,
-            CASE WHEN s2 IS NULL THEN []::VARCHAR[]
-                 ELSE list_filter(string_split(trim(s2), ' '),
-                                  x -> x != chr(10)) END AS pieces
-          FROM m),
+        {_bpe_pieces_cte},
         v(piece, id) AS (VALUES {_vrows}),
         px AS (
           SELECT doc_id, unnest(pieces) AS piece,

@@ -20,18 +20,33 @@ the operator oracle-checkable):
   semantics equal greedy left-to-right merging (scanning resumes after
   each replacement, so ``a a a`` -> ``aa a`` in both).
 
-That last property is the oracle bridge: on the space-joined char
-representation, one merge pass IS ``replace(' a b ', ' ab ')`` — so DuckDB
-replays the whole encode as a nested replace chain with the merge list
-embedded as literals, an INDEPENDENT formulation of the apply (the Spark
-side encodes with a per-word greedy loop, never string replace). The
-learner itself is shared pure Python, so its correctness rests on planted
-hand-computed cases (the symmetric-bug rule, tests/test_bpe.py).
+That last property is the oracle bridge, but the REPRESENTATION matters:
+on a single-space joined form, ``replace(' a b ', ' ab ')`` is NOT greedy
+— adjacent occurrences share the separator space, so ``papa`` with merge
+(p,a) would merge only once (found by adversarial review; the naive form
+is green on small vocabularies and silently wrong on ``XYXY``/``XXX``
+words). The oracle therefore frames every token with its OWN pair of
+newline delimiters (tokens never contain whitespace, so newline is
+provably unambiguous): token t renders as ``\\n t \\n`` with no
+separator between tokens (adjacent frames give a 2-newline internal
+gap), words join with two extra newlines (4-newline gap no pair pattern
+can span), and one merge pass IS
+``replace('\\n a \\n\\n b \\n', '\\n ab \\n')`` — matches of the framed
+pattern can never overlap, so replace-all == greedy left-to-right
+exactly, adjacent occurrences included. DuckDB replays the whole encode
+as that nested replace chain with the merges embedded as literals — an
+INDEPENDENT formulation of the apply (the Spark side encodes with a
+per-word greedy loop, never string replace). The learner itself is
+shared pure Python, so its correctness rests on planted hand-computed
+cases (the symmetric-bug rule, tests/test_bpe.py).
 
 Whitespace contract: words come from the same normalize -> trim -> split
-pipeline as ``text.hash_tokenize`` (runs of any whitespace collapse;
-Python ``re`` and Java regex agree on ``\\s`` including \\x0B, DuckDB/RE2
-diverges only on that code point — documented there).
+pipeline as ``text.hash_tokenize``. The Python twin uses the EXPLICIT
+Java ``\\s`` set ``[ \\t\\n\\x0b\\f\\r]`` — Python's ``\\s`` is
+Unicode-aware (NBSP, \\u2028, ...) where Java's default and DuckDB/RE2
+are ASCII, so a bare ``re`` \\s would silently split more than either
+engine. Remaining cross-engine edge: \\x0B is whitespace to Java/Python
+but not to DuckDB/RE2 (same note as hash_tokenize).
 
 Scale shape: learn = one bounded orderBy-limit collect (smallest
 md5(doc_id|'bpe') ranks — the engine-portable sampling family,
@@ -55,11 +70,15 @@ from pyspark.sql import DataFrame, functions as F
 END = "</w>"
 
 
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, NOT Python's
+
+
 def _py_words(text: str | None) -> list[str]:
-    """Python twin of the hash_tokenize whitespace contract."""
+    """Python twin of the hash_tokenize whitespace contract (explicit
+    Java ``\\s`` character set — see the module docstring)."""
     if text is None:
         return []
-    norm = re.sub(r"\s+", " ", text).strip()
+    norm = _JAVA_WS.sub(" ", text).strip(" ")
     return norm.split(" ") if norm else []
 
 
@@ -119,20 +138,12 @@ def encode_word(w: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
     return s
 
 
-def learn_bpe_merges(
-    df: DataFrame,
-    num_merges: int = 64,
-    sample_docs: int = 512,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> list[tuple[str, str]]:
-    """Learn BPE merges on a bounded deterministic sample of ``df``.
-
-    The sample is the ``sample_docs`` smallest md5(id|'bpe') hex ranks
-    (engine-portable: the oracle replica selects the identical sample from
-    the same parquet with pure Python md5). The collect is bounded by
-    ``sample_docs`` regardless of corpus size.
-    """
+def _sample_texts(
+    df: DataFrame, sample_docs: int, text_col: str, id_col: str
+) -> list[str | None]:
+    """The ONE sampling recipe the oracle replica replays: texts of the
+    ``sample_docs`` smallest md5(id|'bpe') hex ranks (tie-break id ASC).
+    TakeOrdered keeps the collect bounded at any corpus size."""
     rows = (
         df.select(
             F.col(id_col).cast("string").alias("_id"),
@@ -143,7 +154,22 @@ def learn_bpe_merges(
         .limit(int(sample_docs))
         .collect()
     )
-    return learn_bpe_from_texts([r["_t"] for r in rows], num_merges)
+    return [r["_t"] for r in rows]
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    num_merges: int = 64,
+    sample_docs: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn BPE merges on a bounded deterministic sample of ``df``
+    (see :func:`_sample_texts`; the oracle replica selects the identical
+    sample from the same parquet with pure Python md5)."""
+    return learn_bpe_from_texts(
+        _sample_texts(df, sample_docs, text_col, id_col), num_merges
+    )
 
 
 def sample_alphabet(texts: list[str | None]) -> list[str]:
@@ -173,67 +199,53 @@ def learn_bpe(
     """One bounded sample collect -> (merges, vocab). The id-emitting
     sibling of :func:`learn_bpe_merges` for pipelines that need the
     ``tokens array<int>`` shape downstream."""
-    rows = (
-        df.select(
-            F.col(id_col).cast("string").alias("_id"),
-            F.col(text_col).alias("_t"),
-        )
-        .withColumn("_r", F.md5(F.concat_ws("|", F.col("_id"), F.lit("bpe"))))
-        .orderBy("_r", "_id")
-        .limit(int(sample_docs))
-        .collect()
-    )
-    texts = [r["_t"] for r in rows]
+    texts = _sample_texts(df, sample_docs, text_col, id_col)
     merges = learn_bpe_from_texts(texts, num_merges)
     return merges, bpe_vocab(merges, sample_alphabet(texts))
 
 
-def apply_bpe_ids(
+def _apply_encoder(
     df: DataFrame,
-    merges: list[tuple[str, str]],
-    vocab: dict[str, int],
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    text_col: str,
+    id_col: str,
+    out_col: str,
+    out_type: str,
+    encode_cached,
 ) -> DataFrame:
-    """Encode documents straight to dense ids:
-    -> (id, tokens array<int>, n_tok int) — the input_hint tokenized
-    shape, so a learned-BPE corpus composes with every token-level
-    operator (pack / shard / remap / dup-span) exactly like
-    ``text.hash_tokenize`` output. Unknown pieces (characters outside
-    the sample alphabet) map to UNK id 0. Same shuffle-free word-cached
-    mapInPandas shape as :func:`apply_bpe` (the cache holds id tuples,
-    so the vocab lookup is also vocabulary-rate)."""
+    """The ONE word-cached mapInPandas scaffold behind both apply paths
+    (batch loop, Arrow empty-frame skip, NULL-text contract, schema
+    plumbing): ``encode_cached(word) -> tuple`` supplies the per-word
+    encoding; the per-batch cache makes it vocabulary-rate."""
     import pandas as pd
 
-    mlist = [(str(a), str(b)) for a, b in merges]
-    vmap = dict(vocab)
     id_type = df.schema[id_col].dataType.simpleString()
+    n_col_name = "n_pieces" if out_col == "pieces" else "n_tok"
 
     def fn(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cache: dict[str, tuple[int, ...]] = {}
+        cache: dict[str, tuple] = {}
         for pdf in it:
             if not len(pdf):
                 continue  # empty frames break Arrow array-type inference
-            toks_col: list[list[int]] = []
-            n_col: list[int] = []
+            vals: list[list] = []
+            ns: list[int] = []
             for t in pdf[text_col]:
-                ids: list[int] = []
+                out: list = []
                 for w in _py_words(t):
                     enc = cache.get(w)
                     if enc is None:
-                        enc = tuple(
-                            vmap.get(p, 0) for p in encode_word(w, mlist)
-                        )
+                        enc = encode_cached(w)
                         cache[w] = enc
-                    ids.extend(enc)
-                toks_col.append(ids)
-                n_col.append(len(ids))
+                    out.extend(enc)
+                vals.append(out)
+                ns.append(len(out))
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "tokens": toks_col, "n_tok": n_col}
+                {id_col: pdf[id_col], out_col: vals, n_col_name: ns}
             )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        fn, f"{id_col} {id_type}, tokens array<int>, n_tok int"
+        fn,
+        f"{id_col} {id_type}, {out_col} array<{out_type}>, "
+        f"{n_col_name} int",
     )
 
 
@@ -251,36 +263,31 @@ def apply_bpe(
     not token-rate). NULL/empty text -> empty pieces (the hash_tokenize
     contract).
     """
-    import pandas as pd
-
     mlist = [(str(a), str(b)) for a, b in merges]
-    id_type = df.schema[id_col].dataType.simpleString()
+    return _apply_encoder(
+        df, text_col, id_col, "pieces", "string",
+        lambda w: encode_word(w, mlist),
+    )
 
-    def fn(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cache: dict[str, tuple[str, ...]] = {}
-        for pdf in it:
-            if not len(pdf):
-                continue  # empty frames break Arrow array-type inference
-            pieces_col: list[list[str]] = []
-            n_col: list[int] = []
-            for t in pdf[text_col]:
-                ps: list[str] = []
-                for w in _py_words(t):
-                    enc = cache.get(w)
-                    if enc is None:
-                        enc = encode_word(w, mlist)
-                        cache[w] = enc
-                    ps.extend(enc)
-                pieces_col.append(ps)
-                n_col.append(len(ps))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "pieces": pieces_col,
-                    "n_pieces": n_col,
-                }
-            )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        fn, f"{id_col} {id_type}, pieces array<string>, n_pieces int"
+def apply_bpe_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents straight to dense ids:
+    -> (id, tokens array<int>, n_tok int) — the input_hint tokenized
+    shape, so a learned-BPE corpus composes with every token-level
+    operator (pack / shard / remap / dup-span) exactly like
+    ``text.hash_tokenize`` output. Unknown pieces (characters outside
+    the sample alphabet) map to UNK id 0. Same shuffle-free word-cached
+    scaffold as :func:`apply_bpe` (the cache holds id tuples, so the
+    vocab lookup is also vocabulary-rate)."""
+    mlist = [(str(a), str(b)) for a, b in merges]
+    vmap = dict(vocab)
+    return _apply_encoder(
+        df, text_col, id_col, "tokens", "int",
+        lambda w: tuple(vmap.get(p, 0) for p in encode_word(w, mlist)),
     )

@@ -58,17 +58,33 @@ def test_merge_pass_is_left_to_right_nonoverlapping():
 
 def _replace_chain_encode(word: str, merges) -> list[str]:
     """The INDEPENDENT formulation the DuckDB oracle uses: nested
-    replace(' a b ', ' ab ') on the space-joined char representation."""
-    s = " " + " ".join(list(word) + [END]) + " "
+    replace on the NEWLINE-FRAMED representation (every token owns both
+    its delimiters, so framed matches never overlap and replace-all ==
+    greedy). A single-space form is NOT equivalent — adjacent
+    occurrences of a pair share the separator and merge only once."""
+    s = "".join(f"\n{c}\n" for c in list(word) + [END])
     for a, b in merges:
-        s = s.replace(f" {a} {b} ", f" {a + b} ")
-    return s.split()
+        s = s.replace(f"\n{a}\n\n{b}\n", f"\n{a + b}\n")
+    return [x for x in s.split("\n") if x]
 
 
 def test_encode_equals_replace_chain():
+    # 'papa'/'abab'/'aaaa' are the adversarial class: adjacent
+    # occurrences of one merge pair, where the naive single-space chain
+    # diverges from greedy (found by review; the framed chain must not)
     merges = learn_bpe_from_texts(TEXTS, num_merges=10)
-    for w in ["low", "lower", "newest", "lowest", "wen", "aaa", "x", "low</w>x"]:
+    words = ["low", "lower", "newest", "lowest", "wen", "aaa", "x",
+             "low</w>x", "papa", "abab", "aaaa", "aaaaa"]
+    for w in words:
         assert list(encode_word(w, merges)) == _replace_chain_encode(w, merges), w
+    # and with pair-repeat merges planted directly
+    for merges2 in ([("a", "a")], [("p", "a"), ("pa", "pa")],
+                    [("a", "b"), ("ab", "ab")]):
+        for w in words:
+            assert (
+                list(encode_word(w, merges2))
+                == _replace_chain_encode(w, merges2)
+            ), (w, merges2)
 
 
 def test_apply_bpe_spark_matches_reference(spark):
