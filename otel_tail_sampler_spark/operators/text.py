@@ -269,14 +269,18 @@ def winnow_fingerprints(
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # RE2-exact whitespace set (the DuckDB twin is string_split_regex
+    # '\\s+', RE2 = ASCII [ \\t\\n\\f\\r], NO \\x0b): Python's \\s is
+    # Unicode-aware and would normalize NBSP/\u2028 where the oracle
+    # does not (same class as the bpe._py_words review finding)
+    ws = re.compile(r"[ \t\n\f\r]+")
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             ids: list = []
             fps: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = ws.sub(" ", str(text)).strip().lower()
+                norm = ws.sub(" ", str(text)).strip(" ").lower()
                 w = norm.split(" ")
                 if len(w) >= k:
                     hs = [
@@ -497,7 +501,11 @@ def winnow_fingerprints_poly(
     import numpy as np
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # RE2-exact whitespace set (the DuckDB twin is string_split_regex
+    # '\\s+', RE2 = ASCII [ \\t\\n\\f\\r], NO \\x0b): Python's \\s is
+    # Unicode-aware and would normalize NBSP/\u2028 where the oracle
+    # does not (same class as the bpe._py_words review finding)
+    ws = re.compile(r"[ \t\n\f\r]+")
     pw = np.array(_poly_powers(k, base, mod), np.int64)
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -505,7 +513,7 @@ def winnow_fingerprints_poly(
             ids: list = []
             fps: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = ws.sub(" ", str(text)).strip().lower()
+                norm = ws.sub(" ", str(text)).strip(" ").lower()
                 cp = np.frombuffer(
                     norm.encode("ascii", "replace"), np.uint8
                 ).astype(np.int64)
