@@ -386,6 +386,30 @@ def main() -> None:
         ngram_counts(tokdf, n=3, top=1000),
     )
 
+    from otel_tail_sampler_spark.operators.augment import span_corruption
+    from otel_tail_sampler_spark.operators.bpe import apply_bpe
+
+    section(
+        "BPE apply (learned-tokenizer encode)",
+        "What to check: ONE ArrowEvalPython-free mapInPandas stage over\n"
+        "the scan — no Exchange anywhere (the merge table rides the\n"
+        "closure; per-batch word cache keeps the Python work\n"
+        "vocabulary-rate). The learn side is a bounded TakeOrdered\n"
+        "collect, not part of this plan.",
+        apply_bpe(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            [("e", "r"), ("er", "</w>")],
+        ),
+    )
+    section(
+        "T5 span corruption",
+        "What to check: a pure projection chain — no Exchange, no\n"
+        "Python stage, and exactly ONE md5 call site (the per-block\n"
+        "corruption flags land in their own Project and are referenced,\n"
+        "never re-inlined, by the inputs/targets/prefix-count lambdas).",
+        span_corruption(tokdf, block=32, span_len=8, rate=0.25),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
