@@ -87,6 +87,29 @@ def test_encode_equals_replace_chain():
             ), (w, merges2)
 
 
+def test_encode_equals_replace_chain_property():
+    """Hypothesis: greedy encode == framed replace chain on ARBITRARY
+    words and merge lists (pure Python, no Spark session needed) — the
+    hand-listed adversarial words above are necessary but not
+    sufficient; this drives the repeat/overlap space broadly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = st.text(alphabet="abp", min_size=1, max_size=2)
+
+    @given(
+        st.text(alphabet="abp", min_size=0, max_size=12),
+        st.lists(st.tuples(alpha, alpha), min_size=0, max_size=6),
+    )
+    @settings(max_examples=300, deadline=None)
+    def prop(word, merges):
+        assert list(encode_word(word, merges)) == _replace_chain_encode(
+            word, merges
+        )
+
+    prop()
+
+
 def test_apply_bpe_spark_matches_reference(spark):
     df = spark.createDataFrame(
         [

@@ -998,6 +998,31 @@ def test_ngram_counts_hand_computed(spark):
         ngram_counts(df, n=0)
 
 
+def test_ngram_counts_n2_agrees_with_bigram_model(spark):
+    """Cross-operator consistency: ngram_counts(n=2) and
+    build_bigram_model count the same pairs (string key vs int64
+    packing) — two independent formulations of adjacency."""
+    from otel_tail_sampler_spark.operators.corpus import (
+        build_bigram_model,
+        ngram_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 1, 2]), ("b", [2, 3]), ("c", [9])],
+        "doc_id string, tokens array<int>",
+    )
+    via_ngram = {
+        r["gram"]: r["freq"] for r in ngram_counts(df, n=2).collect()
+    }
+    via_bigram = {
+        f"{r['bigram'] // 2**32},{r['bigram'] % 2**32}": r["freq"]
+        for r in build_bigram_model(df, model_size=100).collect()
+    }
+    assert via_ngram == via_bigram == {
+        "1,2": 2, "2,3": 2, "3,1": 1
+    }
+
+
 def test_ngram_counts_plan_is_take_ordered(spark):
     """The cap must plan as TakeOrdered over the aggregated candidates
     (never a full global sort), with two-phase hash aggregation."""
