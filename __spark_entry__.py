@@ -3761,12 +3761,37 @@ def oracle_sql() -> dict[str, str]:
     # EXACTLY, adjacent same-pair occurrences included (a single-space
     # form is NOT equivalent: 'papa' with merge (p,a) merges only once —
     # operators/bpe.py module notes).
+    # The build needs file IO (unlike every other, purely textual, oracle
+    # section) — isolate its failure to the two BPE rows instead of
+    # taking down the whole oracle dict if the testdata moved.
+    try:
+        o.update(_bpe_oracles())
+    except Exception as exc:  # noqa: BLE001 — degrade to rows-only
+        print(
+            f"bpe oracle build failed ({exc!r}); "
+            "bpe_encode/bpe_encode_ids degrade to rows-only",
+            file=sys.stderr,
+        )
+
+    # T5 span corruption: block grid replay (exclusive prefix counts via
+    # list_filter over the corr prefix — independent of the Spark
+    # slice-filter formulation only in spelling; the planted scalar-
+    # reference test is the real guard per the symmetric-bug rule).
+    _t5h = _hfrac_sql("doc_id || ':' || b::VARCHAR", "t5")
+    o["span_corruption"] = _SPAN_CORRUPTION_SQL_TEMPLATE.format(
+        t5h=_t5h, tokenized=paths["tokenized"]
+    )
+    return o
+
+
+def _bpe_oracles() -> dict[str, str]:
     import hashlib
 
     import pyarrow.parquet as pq
 
     from otel_tail_sampler_spark.operators.bpe import learn_bpe_from_texts
 
+    o: dict[str, str] = {}
     _dt = pq.read_table(
         f"{_ORACLE_TESTDATA}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -3854,16 +3879,13 @@ def oracle_sql() -> dict[str, str]:
                  AS tokens_md5
         FROM p LEFT JOIN agg USING (doc_id)
     """
+    return o
 
-    # T5 span corruption: block grid replay (exclusive prefix counts via
-    # list_filter over the corr prefix — independent of the Spark
-    # slice-filter formulation only in spelling; the planted scalar-
-    # reference test is the real guard per the symmetric-bug rule).
-    _t5h = _hfrac_sql("doc_id || ':' || b::VARCHAR", "t5")
-    o["span_corruption"] = f"""
+
+_SPAN_CORRUPTION_SQL_TEMPLATE = """
         WITH tok AS (
           SELECT doc_id, tokens
-          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+          FROM parquet_scan('{tokenized}/*.parquet')),
         base AS (
           SELECT doc_id, tokens, len(tokens) AS n,
                  CASE WHEN len(tokens) > 0
@@ -3871,7 +3893,7 @@ def oracle_sql() -> dict[str, str]:
           FROM tok),
         c AS (
           SELECT doc_id, tokens, n, nb,
-                 [{_t5h} < 0.25 for b in range(0, nb)] AS corr
+                 [{t5h} < 0.25 for b in range(0, nb)] AS corr
           FROM base),
         k AS (
           SELECT *, [len(list_filter(corr[1:b], x -> x))
@@ -3905,4 +3927,3 @@ def oracle_sql() -> dict[str, str]:
                  AS targets_md5
         FROM fin
     """
-    return o
