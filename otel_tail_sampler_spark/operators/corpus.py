@@ -883,6 +883,29 @@ def corpus_report(
     )
 
 
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Alpha/temperature source balancing (the standard multilingual
+    mixing recipe, cf. XLM-R, Conneau et al. 2020): target mixture
+    probability q_s ∝ (c_s / total)^alpha — alpha 1.0 keeps natural
+    proportions, alpha -> 0 flattens toward uniform, upweighting small
+    sources. Returns the q_s dict (sums to 1), which plugs straight into
+    :func:`rates_for_budget`'s ``weights`` so the water-filling solver
+    turns the target mixture + a token budget into per-source keep rates
+    for mixture_sample. Pure driver arithmetic; deterministic (9-dp
+    rounding like the solver).
+    """
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    total = sum(int(c) for c in counts.values())
+    if total <= 0:
+        raise ValueError("temperature_weights: empty corpus counts")
+    raw = {s: (int(c) / total) ** float(alpha) for s, c in counts.items()}
+    z = sum(raw.values())
+    return {s: round(v / z, 9) for s, v in raw.items()}
+
+
 def rates_for_budget(
     report: DataFrame,
     budget_tokens: int,

@@ -1566,6 +1566,37 @@ def test_rates_for_budget_water_filling(spark):
     assert abs(1000 * rw["a"] + 400 - 700) < 1e-6
 
 
+def test_temperature_weights_hand_computed(spark):
+    from otel_tail_sampler_spark.operators.corpus import (
+        rates_for_budget,
+        temperature_weights,
+    )
+
+    counts = {"big": 900, "small": 100}
+    # alpha 1.0: natural proportions
+    w1 = temperature_weights(counts, alpha=1.0)
+    assert abs(w1["big"] - 0.9) < 1e-9 and abs(w1["small"] - 0.1) < 1e-9
+    # alpha 0: uniform regardless of size
+    w0 = temperature_weights(counts, alpha=0.0)
+    assert abs(w0["big"] - 0.5) < 1e-9 and abs(w0["small"] - 0.5) < 1e-9
+    # alpha 0.5: (0.9^.5, 0.1^.5) normalized -> small upweighted ~4.2x
+    wh = temperature_weights(counts, alpha=0.5)
+    assert w0["small"] > wh["small"] > w1["small"]
+    assert abs(sum(wh.values()) - 1.0) < 1e-8
+    with pytest.raises(ValueError):
+        temperature_weights(counts, alpha=-1)
+    with pytest.raises(ValueError):
+        temperature_weights({})
+    # composes with the water-filling solver: alpha-flattened weights
+    # give the small source a larger-than-natural share of the budget
+    report = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, total_words long"
+    )
+    r = rates_for_budget(report, 200, weights=wh)
+    kept_small = 100 * r["small"]
+    assert kept_small > 200 * 0.1  # more than its natural share
+
+
 def test_dedup_cluster_stats_hand_computed(spark):
     from otel_tail_sampler_spark.operators.dedup import dedup_cluster_stats
 
