@@ -121,6 +121,85 @@ def test_kmeans_assign_plan_is_pure_projection(spark):
     assert "Join" not in plan
 
 
+def test_kmeans_large_k_matches_scalar_reference(spark):
+    # the SemDeDup operating point needs k far beyond literal-inlining:
+    # the broadcast-argmin kernel must stay exact at k >= 256
+    vecs = [
+        [((i * 53 + d * 97 + 7) % 255) - 127 for d in range(6)]
+        for i in range(300)
+    ]
+    df = _qdf(spark, vecs).repartition(8)
+    cents = kmeans_fit(df, k=256, iters=1)
+    assert cents == _ref_kmeans(vecs, k=256, iters=1)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_assign(df, cents).collect()
+    }
+    for i, v in enumerate(vecs):
+        dists = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents]
+        assert got[i] == (dists.index(min(dists)), min(dists))
+
+
+def test_kmeans_assign_plan_size_independent_of_k(spark):
+    # centroids ride a broadcast variable, not plan literals: the plan
+    # must not grow with k (the round-4 scale ceiling this replaces)
+    df = _qdf(spark, [[1, 2], [3, 4], [5, 6]])
+    p8 = kmeans_assign(df, [[i, i] for i in range(8)])._jdf.queryExecution().executedPlan().toString()
+    p512 = kmeans_assign(df, [[i, i] for i in range(512)])._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p512) - len(p8)) < 200
+
+
+def test_kmeans_rejects_ragged_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [1, 2, 3])], "vec_id bigint, qvec array<int>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        kmeans_assign(df, [[0, 0]]).collect()
+
+
+def test_semantic_dedup_anchor_cap_bounds_hot_cluster(spark):
+    # degenerate cluster: 200 near-identical vectors all land in one
+    # cluster — uncapped fanout is |C|^2; the anchor cap keeps the exact
+    # answer here (every member is a near-dup of anchor id 0)
+    vecs = [[100, 1]] * 200
+    df = _qdf(spark, vecs)
+    out = semantic_dedup(
+        df, k=1, iters=1, tau=(19, 20), max_cluster_anchors=8
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [0]
+
+
+def test_semantic_dedup_cap_is_exact_at_or_under_cap(spark):
+    # cluster sizes <= cap: capped result must equal the exact all-pairs
+    # result (every pair's smaller id is inside the anchor set)
+    vecs = [[100, 0], [0, 100], [100, 0], [99, 5], [0, 0]]
+    df = _qdf(spark, vecs)
+    exact = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, k=2, iters=1, tau=(19, 20)).collect()
+    )
+    capped = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, k=2, iters=1, tau=(19, 20), max_cluster_anchors=5
+        ).collect()
+    )
+    assert capped == exact == [0, 1, 4]
+
+
+def test_semantic_dedup_cap_plan_two_phase_window(spark):
+    # the anchor rank<=cap window must two-phase via InferWindowGroupLimit
+    # (partial group limit below the exchange — no hot-key single task)
+    df = _qdf(spark, [[i, i + 1] for i in range(8)])
+    plan = (
+        semantic_dedup(df, k=2, iters=1, max_cluster_anchors=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_semantic_dedup_plan_no_cartesian(spark):
     df = _qdf(spark, [[i, i + 1] for i in range(8)])
     plan = (
