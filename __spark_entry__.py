@@ -1400,74 +1400,47 @@ def q_events_rollup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness artifact records the
     FIRST 50 entries, so the dict is ordered least-proven-first and the
-    window ROTATES by last-green round: (1) entries changed this round
-    (the r3-ERR array outputs, now stringified, plus the de-skewed trim),
-    (2) the r1+r2-green stalwart tier that rotated OUT of the r3 window
-    and therefore has no r3 driver row, (3) pipeline-tier entries to fill
-    the window. The r3-green text/packing/winnow tier sits in the tail
-    this round and leads the r5 window — every query keeps a driver row
-    at most one round old, and scripts/check_oracles.py + pytest re-prove
-    the tail locally every round."""
+    window ROTATES by last-green round. Round-5 window: (1) the 22
+    round-4 additions that have never had a driver row (fim_transform …
+    span_corruption), (2) 28 of the 31 r3-green entries that rotated out
+    of the r4 window. Three r3-green entries stay in the tail to keep the
+    window at exactly 50: lsh_topk_approx / ivf_topk_approx (rows-only by
+    nature — the driver check they'd get is weaker than the recall pytest
+    that carries them) and winnow_fingerprints (its kernel is attested
+    in-window via winnow_pairs / winnow_report / winnow_poly, which call
+    the same builder). The r4-green tier sits in the tail — newest driver
+    row one round old — and leads the r6 window; queries added THIS round
+    are appended at the very end and lead r6's window with it.
+    scripts/check_oracles.py + pytest re-prove the whole surface locally
+    every round."""
     return {
-        # -- changed this round: r3-ERR outputs now driver-sortable
-        #    (md5-stringified arrays) + the de-skewed trim election --
-        "hash_tokenize": q_hash_tokenize,
-        "trim_dup_spans": q_trim_dup_spans,
-        "corpus_to_shards": q_corpus_to_shards,
-        "pack_sequences": q_pack_sequences,
-        "remap_rare_tokens": q_remap_rare_tokens,
-        "pack_with_boundaries": q_pack_with_boundaries,
-        # -- NEW composite rollups (several stalwarts per driver row; their
-        #    legs are the standalone builders, so one row attests all) --
-        "pipeline_counters_rollup": q_pipeline_counters_rollup,
-        "relational_rollup": q_relational_rollup,
-        "events_rollup": q_events_rollup,
-        "service_percentiles": q_service_percentiles,
-        "build_vocab": q_build_vocab,
-        "encode_with_vocab": q_encode_with_vocab,
-        "mixture_upsample": q_mixture_upsample,
-        # -- stalwarts with NO r3 driver row (r1+r2 green; rotated out of
-        #    the r3 window) --
-        "policy_decisions": q_policy_decisions,
-        "sink_counts": q_sink_counts,
-        "routed_keep_rows": q_routed_keep_rows,
-        "rate_limit_overflow": q_rate_limit_overflow,
-        "error_short_circuit": q_error_short_circuit,
-        "slowest_traces": q_slowest_traces,
-        "exported_dedup_anti": q_exported_dedup_anti,
-        "force_rules": q_force_rules,
-        "events_latency_policy": q_events_latency_policy,
-        "events_hash_sampling": q_events_hash_sampling,
-        "events_compression_agg": q_events_compression_agg,
-        "events_attr_matchers": q_events_attr_matchers,
-        "events_topk": q_events_topk,
-        "compression_remainder": q_compression_remainder,
-        "orders_enrich_join": q_orders_enrich_join,
-        "lineitem_semi_join": q_lineitem_semi_join,
-        "lineitem_anti_join": q_lineitem_anti_join,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_topk": q_embedding_topk,
-        # -- window fill: pipeline tier (last green r3) --
-        "trace_assembly": q_trace_assembly,
-        "trace_assembly_salted": q_trace_assembly_salted,
-        "configurable_policy": q_configurable_policy,
-        "combine_all_match": q_combine_all_match,
-        "combine_consensus": q_combine_consensus,
-        "combine_priority": q_combine_priority,
-        "export_projection": q_export_projection,
-        "compression_export": q_compression_export,
-        "buffer_stats": q_buffer_stats,
-        "sql_on_lake": q_sql_on_lake,
-        "operation_type": q_operation_type,
-        "resource_attrs": q_resource_attrs,
-        "error_traces_recent": q_error_traces_recent,
-        # ---- window boundary (exactly 50 above) ----
-        # -- tail: green in the r3 driver artifact; leads the r5 window --
+        # -- NEW in r4, never driver-attested: lead the window --
+        "fim_transform": q_fim_transform,
+        "bigram_novelty": q_bigram_novelty,
+        "quantized_topk": q_quantized_topk,
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample": q_stratified_sample,
+        "mask_tokens": q_mask_tokens,
+        "pmi_collocations": q_pmi_collocations,
+        "corpus_report": q_corpus_report,
+        "dedup_representatives": q_dedup_representatives,
+        # rows-only by nature: greedy first-fit is a per-bucket recurrence
+        # no SQL can express; scalar-reference pytest carries correctness
+        "pack_documents_greedy": q_pack_documents_greedy,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "decontaminate_corpus": q_decontaminate_corpus,
+        "apply_dedup": q_apply_dedup,
+        "dedup_lines": q_dedup_lines,
+        "source_overlap": q_source_overlap,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25_topk": q_bm25_topk,
+        "ngram_counts": q_ngram_counts,
+        "bpe_encode": q_bpe_encode,
+        "bpe_encode_ids": q_bpe_encode_ids,
+        "span_corruption": q_span_corruption,
+        # -- r3-green tier that rotated out of the r4 window (newest
+        #    driver row is r3): window fill --
         "span_service_stats": q_span_service_stats,
         "span_compression": q_span_compression,
         "enrich_broadcast": q_enrich_broadcast,
@@ -1493,38 +1466,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
-        "lsh_topk_approx": q_lsh_topk_approx,
-        "ivf_topk_approx": q_ivf_topk_approx,
         "multimodal_features": q_multimodal_features,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # ---- window boundary (exactly 50 above) ----
+        # -- r3-green, held out of the window by the documented
+        #    exceptions above --
+        "lsh_topk_approx": q_lsh_topk_approx,
+        "ivf_topk_approx": q_ivf_topk_approx,
         "winnow_fingerprints": q_winnow_fingerprints,
-        # -- NEW this round (r4): no driver row yet; verified by
-        #    check_oracles + pytest, lead the r5 window --
-        "fim_transform": q_fim_transform,
-        "bigram_novelty": q_bigram_novelty,
-        "quantized_topk": q_quantized_topk,
-        "chunk_documents": q_chunk_documents,
-        "stratified_sample": q_stratified_sample,
-        "mask_tokens": q_mask_tokens,
-        "pmi_collocations": q_pmi_collocations,
-        "corpus_report": q_corpus_report,
-        "dedup_representatives": q_dedup_representatives,
-        # rows-only by nature: greedy first-fit is a per-bucket recurrence
-        # no SQL can express; scalar-reference pytest carries correctness
-        "pack_documents_greedy": q_pack_documents_greedy,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        "decontaminate_corpus": q_decontaminate_corpus,
-        "apply_dedup": q_apply_dedup,
-        "dedup_lines": q_dedup_lines,
-        "source_overlap": q_source_overlap,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "bm25_topk": q_bm25_topk,
-        "ngram_counts": q_ngram_counts,
-        "bpe_encode": q_bpe_encode,
-        "bpe_encode_ids": q_bpe_encode_ids,
-        "span_corruption": q_span_corruption,
+        # -- tail: green in the r4 driver artifact; leads the r6 window --
+        "hash_tokenize": q_hash_tokenize,
+        "trim_dup_spans": q_trim_dup_spans,
+        "corpus_to_shards": q_corpus_to_shards,
+        "pack_sequences": q_pack_sequences,
+        "remap_rare_tokens": q_remap_rare_tokens,
+        "pack_with_boundaries": q_pack_with_boundaries,
+        # composite rollups (several stalwarts per driver row; their legs
+        # are the standalone builders, so one row attests all)
+        "pipeline_counters_rollup": q_pipeline_counters_rollup,
+        "relational_rollup": q_relational_rollup,
+        "events_rollup": q_events_rollup,
+        "service_percentiles": q_service_percentiles,
+        "build_vocab": q_build_vocab,
+        "encode_with_vocab": q_encode_with_vocab,
+        "mixture_upsample": q_mixture_upsample,
+        "policy_decisions": q_policy_decisions,
+        "sink_counts": q_sink_counts,
+        "routed_keep_rows": q_routed_keep_rows,
+        "rate_limit_overflow": q_rate_limit_overflow,
+        "error_short_circuit": q_error_short_circuit,
+        "slowest_traces": q_slowest_traces,
+        "exported_dedup_anti": q_exported_dedup_anti,
+        "force_rules": q_force_rules,
+        "events_latency_policy": q_events_latency_policy,
+        "events_hash_sampling": q_events_hash_sampling,
+        "events_compression_agg": q_events_compression_agg,
+        "events_attr_matchers": q_events_attr_matchers,
+        "events_topk": q_events_topk,
+        "compression_remainder": q_compression_remainder,
+        "orders_enrich_join": q_orders_enrich_join,
+        "lineitem_semi_join": q_lineitem_semi_join,
+        "lineitem_anti_join": q_lineitem_anti_join,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "trace_assembly": q_trace_assembly,
+        "trace_assembly_salted": q_trace_assembly_salted,
+        "configurable_policy": q_configurable_policy,
+        "combine_all_match": q_combine_all_match,
+        "combine_consensus": q_combine_consensus,
+        "combine_priority": q_combine_priority,
+        "export_projection": q_export_projection,
+        "compression_export": q_compression_export,
+        "buffer_stats": q_buffer_stats,
+        "sql_on_lake": q_sql_on_lake,
+        "operation_type": q_operation_type,
+        "resource_attrs": q_resource_attrs,
+        "error_traces_recent": q_error_traces_recent,
     }
 
 
@@ -2619,6 +2622,8 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE doc_id % 10 <> 0
             ),
             keep AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 2),
+            capped AS (SELECT count(*)::BIGINT AS n_capped_grams
+                       FROM (SELECT s FROM tr0 GROUP BY s HAVING count(*) > 2)),
             tr AS (SELECT train_id, s FROM tr0 SEMI JOIN keep USING (s)),
             sizes AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
             inter AS (
@@ -2634,7 +2639,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.doc_id AS eval_id,
                    b.train_id AS best_train_id,
                    round(coalesce(b.i / greatest(s.sz, 1), 0.0), 6) AS containment,
-                   round(coalesce(b.i / greatest(s.sz, 1), 0.0), 6) >= 0.2 AS contaminated
+                   round(coalesce(b.i / greatest(s.sz, 1), 0.0), 6) >= 0.2 AS contaminated,
+                   (SELECT n_capped_grams FROM capped) AS n_capped_grams
             FROM documents e
             LEFT JOIN sizes s ON s.eval_id = e.doc_id
             LEFT JOIN best b ON b.eval_id = e.doc_id AND b.rn = 1
@@ -2760,12 +2766,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
         """,
         "hash_tokenize": """
+            -- NULL-text contract matches the Spark side: NULL text maps to
+            -- the empty token array / n_tok 0 (a bare trim(...) = '' test
+            -- evaluates NULL and falls into the tokenizing branch, where
+            -- string_split(NULL) yields NULL tokens and NULL n_tok)
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
+                     CASE WHEN text IS NULL
+                            OR trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN []::INTEGER[]
                           ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
                                 for x in string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')] END AS tokens,
-                     (CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                     (CASE WHEN text IS NULL
+                            OR trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
                           ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)::INT AS n_tok
               FROM documents
             )
@@ -3468,26 +3480,29 @@ def oracle_sql() -> dict[str, str]:
             FROM o
         """,
         "pmi_collocations": f"""
+            -- bigram build via unnest + lead() window (vectorized; the
+            -- original per-element list comprehension ran ~2 min at
+            -- sf0.01 and would read as a driver-row timeout)
             WITH tok AS (
               SELECT doc_id, tokens
               FROM parquet_scan('{paths["tokenized"]}/*.parquet')
             ),
-            bi AS (
-              SELECT doc_id,
-                     CASE WHEN len(tokens) >= 2
-                          THEN [tokens[i]::BIGINT * 4294967296
-                                  + (tokens[i+1]::BIGINT & 4294967295)
-                                for i in range(1, len(tokens))]
-                          ELSE []::BIGINT[] END AS bg
+            ex AS (
+              SELECT doc_id, unnest(tokens) AS t,
+                     generate_subscripts(tokens, 1) AS i
               FROM tok),
-            ex AS (SELECT doc_id, unnest(bg) AS b FROM bi),
-            cnt AS (SELECT b, count(*)::BIGINT AS freq FROM ex GROUP BY 1),
+            bi AS (
+              SELECT t::BIGINT * 4294967296
+                     + (lead(t) OVER (PARTITION BY doc_id ORDER BY i)::BIGINT
+                        & 4294967295) AS b
+              FROM ex
+              QUALIFY lead(t) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+            cnt AS (SELECT b, count(*)::BIGINT AS freq FROM bi GROUP BY 1),
             model AS (SELECT b, freq FROM cnt
                       ORDER BY freq DESC, b ASC LIMIT 5000),
             nt AS (SELECT coalesce(sum(greatest(len(tokens) - 1, 0)), 0)::BIGINT AS n
                    FROM tok),
-            uni AS (SELECT t, count(*)::BIGINT AS f
-                    FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1),
+            uni AS (SELECT t, count(*)::BIGINT AS f FROM ex GROUP BY 1),
             pairs AS (
               SELECT ((b - r) // 4294967296)::BIGINT AS token,
                      (CASE WHEN r < 2147483648 THEN r

@@ -41,7 +41,12 @@ _WIDE_PREFIXES = (
 def _has_wide_node(df: DataFrame) -> bool:
     """Walk the ANALYZED logical plan tree (py4j) and report whether any
     node's Java class simple name starts with a wide-node prefix. Node
-    identity, not string rendering: immune to column/alias/literal text."""
+    identity, not string rendering: immune to column/alias/literal text.
+    Subquery expression plans (ScalarSubquery/InSubquery/Exists) are NOT
+    in children() — they ride QueryPlan.subqueries() — so a wide node
+    that lives only inside a subquery would otherwise be invisible and
+    the input misclassified as narrow (the .rdd probe below would then
+    eagerly materialize the subquery's shuffle stages under AQE)."""
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
@@ -51,6 +56,9 @@ def _has_wide_node(df: DataFrame) -> bool:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        subq = node.subqueries()
+        for i in range(subq.size()):
+            stack.append(subq.apply(i))
     return False
 
 

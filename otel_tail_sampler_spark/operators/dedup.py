@@ -393,12 +393,17 @@ def _containment_pairs(
     (the fanout bound argued in contamination's docstring), and count
     shingle intersections per (eval, train) pair.
 
-    -> ``(inter, sizes)``: ``inter`` = (eval_id, train_id, _i) intersection
-    counts; ``sizes`` = (eval_id, _sz) eval shingle counts (the containment
-    denominator — never pruned by the cap).
+    -> ``(inter, sizes, capped)``: ``inter`` = (eval_id, train_id, _i)
+    intersection counts; ``sizes`` = (eval_id, _sz) eval shingle counts
+    (the containment denominator — never pruned by the cap); ``capped`` =
+    a ONE-row (n_capped_grams bigint) frame counting the distinct train
+    grams the cap pruned — 0 when no cap or nothing crossed it, so a
+    capped (lower-bound) report is distinguishable from an exhaustive one
+    in the output itself.
     """
     from otel_tail_sampler_spark.functions.spread import spread_small_input
 
+    spark = train.sparkSession
     train = spread_small_input(train)  # shingling runs pre-exchange
     evals = spread_small_input(evals)
     she = evals.select(
@@ -411,20 +416,23 @@ def _containment_pairs(
     )
     if max_gram_df is not None:
         # shingles are distinct per doc, so count(*) == document frequency
-        keep = (
-            sht.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_gram_df)
-            .select("sh")
+        dfs = sht.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        keep = dfs.filter(F.col("_df") <= max_gram_df).select("sh")
+        capped = dfs.filter(F.col("_df") > max_gram_df).agg(
+            F.count(F.lit(1)).alias("n_capped_grams")
         )
         sht = sht.join(keep, "sh", "semi")
+    else:
+        capped = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_capped_grams")
+        )
     sizes = she.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
         she.join(sht, "sh")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
-    return inter, sizes
+    return inter, sizes, capped
 
 
 def contamination(
@@ -463,12 +471,17 @@ def contamination(
     rank over (count DESC, train_id ASC) — pure ordering, no arithmetic
     on the id, so string doc_ids work identically to numeric ones.
 
-    -> (eval_id, best_train_id, containment, contaminated); eval docs with
-    no shared shingle report (null, 0.0, false).
+    -> (eval_id, best_train_id, containment, contaminated, n_capped_grams);
+    eval docs with no shared shingle report (null, 0.0, false).
+    ``n_capped_grams`` is the same value on every row — the count of
+    distinct train grams the cap pruned — so a capped (lower-bound) report
+    is distinguishable from an exhaustive one (0 == nothing was pruned;
+    the report is exact) without a side channel. It rides a broadcast
+    cross-join of a one-row aggregate: no fanout, no extra corpus pass.
     """
     from pyspark.sql import Window
 
-    inter, sizes = _containment_pairs(
+    inter, sizes, capped = _containment_pairs(
         train, evals, shingle_n, id_col, text_col, max_gram_df
     )
     w = Window.partitionBy("eval_id").orderBy(
@@ -494,6 +507,7 @@ def contamination(
             ).alias("containment"),
         )
         .withColumn("contaminated", F.col("containment") >= F.lit(threshold))
+        .join(F.broadcast(capped))
     )
     return out
 
@@ -523,8 +537,10 @@ def decontaminate_corpus(
     train side), so a capped run can under-flag eval text that exists
     verbatim in more than ``max_gram_df`` train docs — mass-verbatim
     duplication is the exact-dedup family's job, not this operator's.
+    Run :func:`contamination` (whose report carries ``n_capped_grams``)
+    to see whether the cap actually pruned anything for a given corpus.
     """
-    inter, sizes = _containment_pairs(
+    inter, sizes, _ = _containment_pairs(
         train, evals, shingle_n, id_col, text_col, max_gram_df
     )
     flagged = (

@@ -57,7 +57,15 @@ def dedup_stream(
     tokenizing). ``payload_cols`` ride the ELECTED row through to the
     output (state still holds only first_id — payload never enters the
     state store). There is exactly ONE copy of this first-wins/TTL state
-    machine; wrappers parameterize it rather than re-implement it."""
+    machine; wrappers parameterize it rather than re-implement it.
+
+    CHECKPOINT COMPATIBILITY: the state row schema is ``(first_id,)``
+    since round 4 — earlier checkpoints wrote ``(first_id, dups)`` and
+    dup_count became same-batch-only. State-store rows are decoded
+    against the CURRENT schema, so resuming a checkpoint written by the
+    two-field version fails or misreads state: upgrading across that
+    boundary requires a FRESH checkpointLocation (and accepts that
+    already-seen digests re-emit once)."""
     import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()

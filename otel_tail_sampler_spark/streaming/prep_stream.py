@@ -118,6 +118,7 @@ def run_prep_stream(
     max_dup_word_frac: float = 0.6,
     ttl_minutes: int | None = None,
     available_now: bool = True,
+    schema=None,
 ):
     """Wire the streaming prep leg end-to-end over a documents directory
     and return the started StreamingQuery. Output lands under
@@ -129,8 +130,14 @@ def run_prep_stream(
     ``available_now=True`` drains everything currently in the directory
     and stops (the bounded test/run mode); ``False`` leaves the query
     running on the default micro-batch trigger.
+
+    ``schema`` (a StructType or DDL string) pins the stream schema
+    explicitly — REQUIRED for a deployment that starts before producers
+    write the first file: the fallback probe is an eager batch read of
+    ``documents_dir`` and throws on an empty directory.
     """
-    schema = spark.read.parquet(documents_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(documents_dir).schema
     docs = spark.readStream.schema(schema).parquet(documents_dir)
     gated = _quality_gate(
         docs, min_words=min_words, max_words=max_words,

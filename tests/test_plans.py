@@ -200,6 +200,35 @@ def test_spread_detects_nodes_not_strings(spark, small_dataset):
     assert _has_wide_node(base.groupBy("source").count())
 
 
+def test_spread_detects_wide_node_inside_subquery(spark, small_dataset):
+    """A wide node living ONLY inside a subquery expression plan (ADVICE
+    r4): children() does not reach ScalarSubquery/InSubquery plans, so the
+    guard must also walk QueryPlan.subqueries() — otherwise the input is
+    misclassified narrow and gets the .rdd probe + repartition the guard
+    exists to avoid."""
+    from otel_tail_sampler_spark.functions.spread import (
+        _has_wide_node,
+        spread_small_input,
+    )
+
+    base = spark.read.parquet(small_dataset["tokenized"])
+    base.createOrReplaceTempView("_spread_subq_docs")
+    # the outer plan is a bare Filter+Scan; the Aggregate is only inside
+    # the scalar subquery
+    df = spark.sql(
+        "SELECT doc_id FROM _spread_subq_docs "
+        "WHERE n_tok > (SELECT avg(n_tok) FROM _spread_subq_docs)"
+    )
+    assert _has_wide_node(df)
+    assert spread_small_input(df) is df
+    # IN-subquery variant
+    df_in = spark.sql(
+        "SELECT doc_id FROM _spread_subq_docs WHERE doc_id IN "
+        "(SELECT max(doc_id) FROM _spread_subq_docs GROUP BY source)"
+    )
+    assert _has_wide_node(df_in)
+
+
 def test_scan_prunes_tokens_for_counts(spark, small_dataset):
     """A decision-count query over routed must not read the token column."""
     res = run_pipeline(spark, small_dataset["tokenized"], E.ENTRY_CFG)

@@ -355,3 +355,32 @@ def test_prep_stream_end_to_end_with_restart(spark, tmp_path_factory):
     }
     for _, r in got2.iterrows():
         assert list(r["tokens"]) == want[r["doc_id"]], r["doc_id"]
+
+
+def test_prep_stream_empty_source_with_explicit_schema(spark, tmp_path):
+    """ADVICE r4: a streaming deployment can start BEFORE producers write
+    the first file. With an explicit schema the empty source dir must
+    start and drain cleanly (zero output, no throw); without one, the
+    eager probe read is the documented failure."""
+    import pytest
+
+    from otel_tail_sampler_spark.streaming.prep_stream import run_prep_stream
+
+    src = tmp_path / "empty_src"
+    out = tmp_path / "out"
+    src.mkdir()
+    ddl = "doc_id long, text string, lang string, source string"
+    q = run_prep_stream(
+        spark, str(src), str(out), vocab_size=512, schema=ddl
+    )
+    q.awaitTermination(120)
+    # file sink writes its manifest even for zero batches; tolerate a
+    # missing dir, but any readable output must be empty
+    try:
+        n = spark.read.parquet(f"{out}/tokenized").count()
+    except Exception:
+        n = 0
+    assert n == 0
+    # the probe fallback on an empty dir throws (documented contract)
+    with pytest.raises(Exception):
+        run_prep_stream(spark, str(src), str(tmp_path / "out2"))

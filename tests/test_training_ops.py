@@ -597,6 +597,9 @@ def test_contamination_string_ids_and_hot_gram_cap(spark):
     # so it reports CLEAN instead of fanning out 10 pair rows
     assert out["e2"]["best_train_id"] is None
     assert out["e2"]["containment"] == 0.0
+    # the capped report says so in-band: exactly the one planted hot gram
+    # was pruned, on every row (a 0 would claim the report is exhaustive)
+    assert all(r["n_capped_grams"] == 1 for r in out.values())
     # and the intermediate pair count is bounded by the cap, not by T×E:
     # with the cap lifted the same eval doc matches all 10 train docs
     uncapped = D.contamination(
@@ -607,9 +610,10 @@ def test_contamination_string_ids_and_hot_gram_cap(spark):
     ).count()
     assert n_pairs_uncapped == 1  # best-of report still one row...
     # ...but the underlying match exists uncapped and not capped
-    assert uncapped.filter(F.col("eval_id") == "e2").collect()[0][
-        "containment"
-    ] > 0.0
+    r_e2 = uncapped.filter(F.col("eval_id") == "e2").collect()[0]
+    assert r_e2["containment"] > 0.0
+    # cap=None prunes nothing -> the report declares itself exhaustive
+    assert r_e2["n_capped_grams"] == 0
 
 
 def test_contamination_default_cap_bounds_fanout(spark):
