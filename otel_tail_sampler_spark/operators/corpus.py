@@ -100,24 +100,40 @@ def remap_rare_tokens(
     unk = int(unk_id)
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # batch-vectorized (the bigram scorer's flat-stream shape): ONE
+        # concatenate + sorted membership probe per Arrow batch, n_unk by
+        # segment reduceat — no per-document Python loop in the hot path
         rset = rare_b.value
         for pdf in batches:
-            if not len(pdf):  # empty batch would yield untyped columns
+            n = len(pdf)
+            if not n:  # empty batch would yield untyped columns
                 continue
-            toks_out, n_unk = [], []
-            for t in pdf[tok_col]:
-                a = np.asarray(t, np.int64)
-                if a.size and rset.size:
-                    # sorted membership probe: O(n log |rare|), vectorized
-                    idx = np.searchsorted(rset, a)
-                    idx[idx == rset.size] = 0
-                    mask = rset[idx] == a
-                else:
-                    mask = np.zeros(a.size, bool)
-                toks_out.append(np.where(mask, unk, a).astype(np.int32))
-                n_unk.append(int(mask.sum()))
+            arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, n)
+            total = int(lens.sum())
+            if total and rset.size:
+                flat = np.concatenate([a for a in arrs if a.size])
+                idx = np.searchsorted(rset, flat)
+                idx[idx == rset.size] = 0
+                mask = rset[idx] == flat
+                out_flat = np.where(mask, unk, flat).astype(np.int32)
+            else:
+                mask = np.zeros(total, bool)
+                out_flat = (
+                    np.concatenate(arrs) if total else np.empty(0, np.int64)
+                ).astype(np.int32)
+            cum = np.cumsum(lens)
+            starts = np.concatenate(([0], cum[:-1]))
+            # zero sentinel keeps every reduceat start in bounds; empty
+            # docs (start == next start) read garbage there and are forced
+            n_unk = np.add.reduceat(np.append(mask.astype(np.int64), 0), starts)
+            n_unk[lens == 0] = 0
             yield pd.DataFrame(
-                {id_col: pdf[id_col], tok_col: toks_out, "n_unk": n_unk}
+                {
+                    id_col: pdf[id_col],
+                    tok_col: np.split(out_flat, cum[:-1]),
+                    "n_unk": n_unk.astype(np.int32),
+                }
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -190,26 +206,37 @@ def encode_with_vocab(
     unk = int(unk_id)
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # batch-vectorized flat-stream probe (see remap_rare_tokens): one
+        # searchsorted per Arrow batch, per-doc n_unk via segment reduceat
         vt, vi = b.value
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            toks_out, n_unk = [], []
-            for t in pdf[tok_col]:
-                a = np.asarray(t, np.int64)
-                if a.size and vt.size:
-                    idx = np.searchsorted(vt, a)
-                    idx[idx == vt.size] = 0
-                    hit = vt[idx] == a
-                    out = np.where(hit, vi[idx], unk).astype(np.int32)
-                    miss = a.size - int(hit.sum())
-                else:
-                    out = np.full(a.size, unk, np.int32)
-                    miss = int(a.size)
-                toks_out.append(out)
-                n_unk.append(miss)
+            arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, n)
+            total = int(lens.sum())
+            if total and vt.size:
+                flat = np.concatenate([a for a in arrs if a.size])
+                idx = np.searchsorted(vt, flat)
+                idx[idx == vt.size] = 0
+                hit = vt[idx] == flat
+                out_flat = np.where(hit, vi[idx], unk).astype(np.int32)
+            else:
+                hit = np.zeros(total, bool)
+                out_flat = np.full(total, unk, np.int32)
+            cum = np.cumsum(lens)
+            starts = np.concatenate(([0], cum[:-1]))
+            n_unk = np.add.reduceat(
+                np.append((~hit).astype(np.int64), 0), starts
+            )
+            n_unk[lens == 0] = 0
             yield pd.DataFrame(
-                {id_col: pdf[id_col], tok_col: toks_out, "n_unk": n_unk}
+                {
+                    id_col: pdf[id_col],
+                    tok_col: np.split(out_flat, cum[:-1]),
+                    "n_unk": n_unk.astype(np.int32),
+                }
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -301,43 +328,52 @@ def doc_rarity(
     thr = int(rare_threshold)
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # batch-vectorized flat-stream probe (see remap_rare_tokens): one
+        # clamped searchsorted per Arrow batch — a token outside the
+        # collected vocab (input changed between jobs) scores frequency 0
+        # instead of indexing past the array. Per-doc sums/counts via
+        # segment reduceat; per-doc min via minimum.reduceat with an
+        # int64-max sentinel (a zero sentinel would clamp the LAST doc's
+        # min; empty docs are forced to 0 afterwards either way).
         v, fr = b.value
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            n_tok, mean_f, rare_f, min_f = [], [], [], []
-            for t in pdf[tok_col]:
-                a = np.asarray(t, np.int64)
-                n = a.size
-                if n:
-                    # clamped probe: a token outside the collected vocab
-                    # (input changed between jobs) scores frequency 0
-                    # instead of indexing past the array
-                    if v.size:
-                        idx = np.searchsorted(v, a)
-                        idx[idx == v.size] = 0
-                        f = np.where(v[idx] == a, fr[idx], 0)
-                    else:
-                        f = np.zeros(n, np.int64)
-                    n_tok.append(int(n))
-                    # full precision here; callers round with F.round
-                    # (HALF_UP, matches DuckDB) — Python round() is
-                    # banker's and would drift on exact .5 boundaries
-                    mean_f.append(float(f.sum()) / n)
-                    rare_f.append(float((f < thr).sum()) / n)
-                    min_f.append(int(f.min()))
-                else:
-                    n_tok.append(0)
-                    mean_f.append(0.0)
-                    rare_f.append(0.0)
-                    min_f.append(0)
+            arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, n)
+            total = int(lens.sum())
+            if total and v.size:
+                flat = np.concatenate([a for a in arrs if a.size])
+                idx = np.searchsorted(v, flat)
+                idx[idx == v.size] = 0
+                f = np.where(v[idx] == flat, fr[idx], 0)
+            else:
+                f = np.zeros(total, np.int64)
+            cum = np.cumsum(lens)
+            starts = np.concatenate(([0], cum[:-1]))
+            empty = lens == 0
+            sums = np.add.reduceat(np.append(f, np.int64(0)), starts)
+            sums[empty] = 0
+            rare = np.add.reduceat(
+                np.append((f < thr).astype(np.int64), 0), starts
+            )
+            rare[empty] = 0
+            mins = np.minimum.reduceat(
+                np.append(f, np.iinfo(np.int64).max), starts
+            )
+            mins[empty] = 0
+            # full precision here; callers round with F.round (HALF_UP,
+            # matches DuckDB) — Python round() is banker's and would
+            # drift on exact .5 boundaries
+            safe = np.maximum(lens, 1).astype(np.float64)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_tok": n_tok,
-                    "mean_freq": mean_f,
-                    "rare_frac": rare_f,
-                    "min_freq": min_f,
+                    "n_tok": lens.astype(np.int32),
+                    "mean_freq": sums.astype(np.float64) / safe,
+                    "rare_frac": rare.astype(np.float64) / safe,
+                    "min_freq": mins,
                 }
             )
 
