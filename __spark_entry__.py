@@ -1528,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_type": q_operation_type,
         "resource_attrs": q_resource_attrs,
         "error_traces_recent": q_error_traces_recent,
+        # -- NEW this round (r5): no driver row yet; verified by
+        #    check_oracles + pytest, lead the r6 window --
+        "bm25_search_index": q_bm25_search_index,
     }
 
 
@@ -1965,6 +1968,35 @@ def q_bm25_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "tokens"
     )
     return bm25_topk(tok, qs, k=10)
+
+
+def q_bm25_search_index(spark, sf_dir):
+    """The SCALE shape of BM25 retrieval: bm25_index materializes the
+    inverted index to parquet (ONE corpus pass, term-sorted row groups),
+    bm25_search ranks the same 3 queries against the written index —
+    value-identical to the one-shot by construction (the split-equals-
+    one-shot equality is also pinned in tests/test_retrieval.py), so the
+    oracle is the one-shot's SQL verbatim. This attests the standing-
+    index path, not just the convenience path (VERDICT r4 #8). The index
+    lands under an sf-keyed /tmp dir, overwrite-idempotent across runs;
+    it must outlive this call because the returned frame reads it at
+    collect time."""
+    import hashlib
+    import tempfile
+
+    from otel_tail_sampler_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    qs = tok.filter(F.col("doc_id") < "span-000000000003").select(
+        F.col("doc_id").alias("query_id"), "tokens"
+    )
+    key = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    out = f"{tempfile.gettempdir()}/otel_tss_bm25_index_{key}"
+    post, stats, nt = bm25_index(tok, out_dir=out, index_partitions=8)
+    return bm25_search(post, stats, nt, qs, k=10)
 
 
 def q_bpe_encode(spark, sf_dir):
@@ -3750,6 +3782,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, score_fp, rank::INT AS rank
         FROM r WHERE rank <= 10
     """
+    # The split index/search path is proven value-identical to the
+    # one-shot (tests/test_retrieval.py), so it shares the oracle SQL:
+    # the driver row then attests the SCALE shape (written inverted
+    # index + map-only search), not just the convenience shape.
+    o["bm25_search_index"] = o["bm25_topk"]
 
     # Trigram counts: independent formulation (list-comprehension slices
     # vs Spark's zip_with over shifted slices) — no shared gram formula.
