@@ -1531,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round (r5): no driver row yet; verified by
         #    check_oracles + pytest, lead the r6 window --
         "bm25_search_index": q_bm25_search_index,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -1997,6 +1998,23 @@ def q_bm25_search_index(spark, sf_dir):
     out = f"{tempfile.gettempdir()}/otel_tss_bm25_index_{key}"
     post, stats, nt = bm25_index(tok, out_dir=out, index_partitions=8)
     return bm25_search(post, stats, nt, qs, k=10)
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023): hashed-bigram bucket
+    models for the svc-00 TARGET domain vs the full RAW corpus; every
+    doc scored by the exact fixed-point likelihood ratio; deterministic
+    top-500 most-target-like selection (Gumbel resampling replaced by
+    rank order — module notes in operators/selection.py)."""
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model,
+        dsir_select,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    target = tok.filter(F.col("source") == "svc-00")
+    model = build_dsir_model(target, tok, n_buckets=1 << 16)
+    return dsir_select(tok, model, k=500, n_buckets=1 << 16)
 
 
 def q_bpe_encode(spark, sf_dir):
@@ -3833,6 +3851,61 @@ def oracle_sql() -> dict[str, str]:
     o["span_corruption"] = _SPAN_CORRUPTION_SQL_TEMPLATE.format(
         t5h=_t5h, tokenized=paths["tokenized"]
     )
+
+    # DSIR importance selection: independent DuckDB replay of the full
+    # model-build + smoothing + fixed-point ratio + top-k chain. The
+    # bigram pack/bucket formulas are shared with the Spark side by
+    # necessity (symmetric-bug guard: the scalar reference + kernel
+    # equality tests in tests/test_selection.py); HUGEINT carries the
+    # S * mass * (R+B) intermediates the Spark side rides DECIMAL(38,0)
+    # for, and both engines' integer division truncates non-negatives.
+    o["dsir_select"] = f"""
+        WITH tok AS (
+          SELECT doc_id, tokens, source
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        bi AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(tokens) >= 2
+                      THEN [tokens[i]::BIGINT * 4294967296
+                              + (tokens[i+1]::BIGINT & 4294967295)
+                            for i in range(1, len(tokens))]
+                      ELSE []::BIGINT[] END AS bg
+          FROM tok),
+        exb AS (
+          SELECT doc_id, source,
+                 ((unnest(bg) % 65536) + 65536) % 65536 AS f
+          FROM bi),
+        model AS (
+          SELECT f,
+                 sum(CASE WHEN source = 'svc-00' THEN 1 ELSE 0 END)
+                   ::BIGINT AS tf,
+                 count(*)::BIGINT AS rf
+          FROM exb GROUP BY 1),
+        tot AS (SELECT sum(tf) AS t_total, sum(rf) AS r_total FROM model),
+        per AS (
+          SELECT exb.doc_id, count(*)::INT AS n_feat,
+                 sum(coalesce(m.tf, 0) + 1)::BIGINT AS tmass,
+                 sum(coalesce(m.rf, 0) + 1)::BIGINT AS rmass
+          FROM exb LEFT JOIN model m ON exb.f = m.f GROUP BY 1),
+        sc AS (
+          SELECT t.doc_id,
+                 coalesce(per.n_feat, 0) AS n_feat,
+                 coalesce(per.tmass, 0) AS target_mass,
+                 coalesce(per.rmass, 0) AS raw_mass,
+                 CASE WHEN coalesce(per.n_feat, 0) > 0
+                      THEN (1048576::HUGEINT * per.tmass
+                              * (tot.r_total + 65536))
+                           // (per.rmass::HUGEINT * (tot.t_total + 65536))
+                      ELSE 1048576 END AS ratio
+          FROM tok t LEFT JOIN per USING (doc_id) CROSS JOIN tot),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY ratio DESC, doc_id ASC)
+                      AS rank
+          FROM sc)
+        SELECT doc_id, n_feat::INT AS n_feat, target_mass, raw_mass,
+               ratio::BIGINT AS ratio_fp, rank::INT AS rank
+        FROM r WHERE rank <= 500
+    """
     return o
 
 

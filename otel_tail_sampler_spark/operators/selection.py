@@ -1,0 +1,282 @@
+"""Importance-based data selection (DSIR family) in exact integer math.
+
+Implements the hashed n-gram importance-resampling scheme of DSIR
+("Data Selection for Language Models via Importance Resampling",
+Xie et al., NeurIPS 2023) over the tokenized corpus shape: adjacent
+token bigrams are hashed into ``n_buckets`` feature buckets, a bag-of-
+buckets unigram model is estimated for a small TARGET (domain) corpus
+and for the large RAW corpus, and each raw document is scored by how
+much more likely its feature bag is under the target model than under
+the raw model. High-scoring documents are the ones worth keeping when
+the training budget is a fraction of the crawl.
+
+Cross-engine-exact formulation: DSIR's log importance weight
+``sum_f c_f * (log p_t[f] - log p_r[f])`` is a transcendental — no log
+is bit-reproducible across Spark / numpy / DuckDB — so, exactly like
+``score_bigram_novelty`` (the module family's perplexity stand-in) and
+fixed-point BM25, the operator reports the exact integer sufficient
+statistics and an exact fixed-point LINEAR likelihood ratio:
+
+    target_mass = sum over doc bigrams of (t_f + 1)     (add-one smoothed)
+    raw_mass    = sum over doc bigrams of (r_f + 1)
+    ratio_fp    = (S * target_mass * (R + B)) div (raw_mass * (T + B))
+
+with S = 2^scale_bits, B = n_buckets, T / R the target / raw corpus
+bigram totals — i.e. the arithmetic-mean likelihood ratio
+``(sum_f c_f p_t[f]) / (sum_f c_f p_r[f])`` in fixed point, a monotone
+domain-affinity signal computed entirely in integers (intermediates
+ride DECIMAL(38,0), exact to T,R ~ 1e12 features at the default
+scale). Documents with no bigram features score the neutral S (=1.0).
+The deterministic top-k of ``dsir_select`` replaces DSIR's seeded
+Gumbel resampling — the sandbox contract is bit-reproducible output;
+a caller that wants sampled diversity can rank on
+``ratio_fp``-weighted ``hash_frac`` keys instead.
+
+Scale shape (100 TB posture):
+* ``build_dsir_model`` — two map-side-combinable aggregations whose
+  output is bounded by ``n_buckets`` (default 2^16), NOT corpus size;
+  the explode is transient exactly as in ``build_bigram_model``.
+* ``dsir_score`` — shuffle-free: the bucket model broadcasts as two
+  dense numpy arrays (8 B * n_buckets each) into a batch-vectorized
+  Arrow kernel (one concatenate + modulo + gather + reduceat per Arrow
+  batch — the ``score_bigram_novelty`` kernel shape); the corpus
+  crosses the socket once and never shuffles. ``kernel="jvm"`` is the
+  zero-Python equality witness (explode + broadcast join), which pays
+  the pair-stream row materialization the arrow kernel avoids.
+* ``dsir_select`` — TakeOrderedAndProject on the bounded k.
+
+Reference parity: the reference engine has no selection tier; this is
+part of the training-data extension (DSIR: Xie et al. 2023).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .corpus import _adjacent_bigrams
+
+_DEFAULT_BUCKETS = 1 << 16
+
+
+def _bucket_expr(packed: Column, n_buckets: int) -> Column:
+    """Non-negative hash bucket of a packed bigram: ``pmod`` matches
+    numpy's sign-of-divisor ``%`` and DuckDB's ``((x % B) + B) % B``."""
+    return F.pmod(packed, F.lit(n_buckets)).cast("int")
+
+
+def build_dsir_model(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Hashed-bigram bucket counts for both corpora:
+    -> (bucket int, t_freq bigint, r_freq bigint), one row per bucket
+    observed in EITHER corpus (absent side 0). Output cardinality is
+    bounded by ``n_buckets``; totals ``T = sum(t_freq)`` /
+    ``R = sum(r_freq)`` are recoverable from the model itself, which is
+    how ``dsir_score`` avoids extra corpus passes."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(_adjacent_bigrams(tok_col)).alias("_pk")
+            )
+            .select(_bucket_expr(F.col("_pk"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    t = counts(target, "t_freq")
+    r = counts(raw, "r_freq")
+    return (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_freq", F.lit(0)).cast("long").alias("t_freq"),
+            F.coalesce("r_freq", F.lit(0)).cast("long").alias("r_freq"),
+        )
+    )
+
+
+def _model_arrays(model: DataFrame, n_buckets: int):
+    import numpy as np
+
+    mpdf = model.select("bucket", "t_freq", "r_freq").toPandas()
+    tf = np.zeros(n_buckets, np.int64)
+    rf = np.zeros(n_buckets, np.int64)
+    b = mpdf["bucket"].to_numpy(np.int64)
+    tf[b] = mpdf["t_freq"].to_numpy(np.int64)
+    rf[b] = mpdf["r_freq"].to_numpy(np.int64)
+    return tf, rf
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Score each document against a built DSIR model:
+    -> (id, n_feat int, target_mass bigint, raw_mass bigint,
+    ratio_fp bigint). See the module docstring for the exact formula.
+
+    Determinism precondition (shared with ``score_bigram_novelty``):
+    the model is materialized once (collect/broadcast) and scoring runs
+    in a later job; the model input must not mutate in between."""
+    totals = model.agg(
+        F.sum("t_freq").alias("t"), F.sum("r_freq").alias("r")
+    ).first()
+    t_total, r_total = int(totals["t"] or 0), int(totals["r"] or 0)
+    s = 1 << scale_bits
+
+    if kernel == "jvm":
+        ex = df.select(
+            F.col(id_col),
+            F.explode(_adjacent_bigrams(tok_col)).alias("_pk"),
+        ).select(
+            id_col, _bucket_expr(F.col("_pk"), n_buckets).alias("bucket")
+        )
+        agg = (
+            ex.join(F.broadcast(model), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("_nf"),
+                F.sum(
+                    F.coalesce(F.col("t_freq"), F.lit(0)) + 1
+                ).alias("_tm"),
+                F.sum(
+                    F.coalesce(F.col("r_freq"), F.lit(0)) + 1
+                ).alias("_rm"),
+            )
+        )
+        stats = df.select(F.col(id_col)).join(agg, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("_nf"), F.lit(0)).alias("n_feat"),
+            F.coalesce(F.col("_tm"), F.lit(0)).cast("long").alias(
+                "target_mass"
+            ),
+            F.coalesce(F.col("_rm"), F.lit(0)).cast("long").alias(
+                "raw_mass"
+            ),
+        )
+    elif kernel == "arrow":
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        tf, rf = _model_arrays(model, n_buckets)
+        b = df.sparkSession.sparkContext.broadcast((tf, rf))
+
+        def fn(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            # the score_bigram_novelty batch kernel with a dense gather in
+            # place of searchsorted: buckets are 0..B-1 by construction.
+            vtf, vrf = b.value
+            nb = np.int64(len(vtf))
+            K = np.int64(4294967296)
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+                lens = np.fromiter((a.size for a in arrs), np.int64, n)
+                nfe = np.maximum(lens - 1, 0)
+                tm = np.zeros(n, np.int64)
+                rm = np.zeros(n, np.int64)
+                nz = lens > 0
+                if int(lens.sum()) >= 2:
+                    flat = np.concatenate([a for a in arrs if a.size])
+                    pairs = flat[:-1] * K + (
+                        flat[1:] & np.int64(4294967295)
+                    )
+                    bk = pairs % nb  # numpy %: sign of divisor, == pmod
+                    cum = np.cumsum(lens[nz])
+                    cross = np.zeros(pairs.size, bool)
+                    cross[cum[:-1] - 1] = True
+                    t_c = np.append(
+                        np.where(cross, np.int64(0), vtf[bk] + 1), 0
+                    )
+                    r_c = np.append(
+                        np.where(cross, np.int64(0), vrf[bk] + 1), 0
+                    )
+                    starts = np.concatenate(([0], cum[:-1]))
+                    tm[nz] = np.add.reduceat(t_c, starts)
+                    rm[nz] = np.add.reduceat(r_c, starts)
+                    one = nfe == 0  # reduceat quirk on empty segments
+                    tm[one] = 0
+                    rm[one] = 0
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_feat": nfe.astype(np.int32),
+                        "target_mass": tm,
+                        "raw_mass": rm,
+                    }
+                )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        stats = df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+            fn,
+            f"{id_col} {id_type}, n_feat int,"
+            " target_mass long, raw_mass long",
+        )
+    else:
+        raise ValueError(
+            f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
+        )
+
+    # fixed-point ratio: intermediates exceed int64 (S * mass * (R+B)),
+    # ride DECIMAL(38,0) exactly as BM25's scorer does; operands are
+    # non-negative so Spark's truncating `div` == floor == DuckDB `//`.
+    ratio = F.expr(
+        f"CAST({s} AS DECIMAL(38,0)) * target_mass * {r_total + n_buckets}"
+        f" div (CAST(raw_mass AS DECIMAL(38,0))"
+        f"      * {t_total + n_buckets})"
+    )
+    return stats.select(
+        id_col,
+        "n_feat",
+        "target_mass",
+        "raw_mass",
+        F.when(F.col("n_feat") > 0, ratio.cast("bigint"))
+        .otherwise(F.lit(s).cast("bigint"))
+        .alias("ratio_fp"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    model: DataFrame,
+    k: int,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Deterministic importance selection: the ``k`` most target-like
+    documents by ``ratio_fp`` (ties to the smaller id):
+    -> (id, n_feat, target_mass, raw_mass, ratio_fp, rank int).
+
+    The sort-limit compiles to TakeOrderedAndProject (per-partition
+    top-k, then one bounded merge — nothing corpus-sized sorts); the
+    rank window runs over the k survivors only."""
+    scored = dsir_score(
+        df,
+        model,
+        n_buckets=n_buckets,
+        scale_bits=scale_bits,
+        id_col=id_col,
+        tok_col=tok_col,
+        kernel=kernel,
+    )
+    top = scored.orderBy(F.desc("ratio_fp"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("ratio_fp"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
