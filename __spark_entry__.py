@@ -1532,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    check_oracles + pytest, lead the r6 window --
         "bm25_search_index": q_bm25_search_index,
         "dsir_select": q_dsir_select,
+        "length_batches": q_length_batches,
+        "batch_pad_stats": q_batch_pad_stats,
     }
 
 
@@ -2015,6 +2017,35 @@ def q_dsir_select(spark, sf_dir):
     target = tok.filter(F.col("source") == "svc-00")
     model = build_dsir_model(target, tok, n_buckets=1 << 16)
     return dsir_select(tok, model, k=500, n_buckets=1 << 16)
+
+
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed batch formation: every tokenized doc assigned a
+    deterministic (bucket, batch_seq, pos_in_batch) — similar-length
+    sequences grouped into 32-doc batches in md5-shuffled order, the
+    pad-waste-minimizing loader layout (operators/packing.py)."""
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return form_batches(
+        tok, batch_size=32, bucket_edges=(48, 56, 64)
+    ).select("doc_id", "n_tok", "bucket", "batch_seq", "pos_in_batch")
+
+
+def q_batch_pad_stats(spark, sf_dir):
+    """Per-batch padding accounting over the length-bucketed batches:
+    exact pad_tokens = n_docs * max_len - sum_len for every batch."""
+    from otel_tail_sampler_spark.operators.packing import (
+        batch_stats,
+        form_batches,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return batch_stats(
+        form_batches(tok, batch_size=32, bucket_edges=(48, 56, 64))
+    ).select(
+        "bucket", "batch_seq", "n_docs", "max_len", "sum_len", "pad_tokens"
+    )
 
 
 def q_bpe_encode(spark, sf_dir):
@@ -3905,6 +3936,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_feat::INT AS n_feat, target_mass, raw_mass,
                ratio::BIGINT AS ratio_fp, rank::INT AS rank
         FROM r WHERE rank <= 500
+    """
+
+    # Length-bucketed batching: the md5 rank key is the one shared
+    # formula (hash recipe rule); the bucket spelling is independent
+    # (list_filter count vs Spark's sum-of-comparisons) and the global
+    # rank is DuckDB's own window — vs Spark's two-phase subrange
+    # reconstruction, which is exactly the property under test.
+    _batch_rank_cte = f"""
+        WITH tok AS (
+          SELECT doc_id, n_tok
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        b AS (
+          SELECT doc_id, n_tok,
+                 len(list_filter([48, 56, 64], e -> e < n_tok)) AS bucket,
+                 md5(doc_id || '|' || 'batch') AS h
+          FROM tok),
+        r AS (
+          SELECT doc_id, n_tok, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY h, doc_id) - 1 AS pos
+          FROM b)"""
+    o["length_batches"] = f"""
+        {_batch_rank_cte}
+        SELECT doc_id, n_tok::INT AS n_tok, bucket::INT AS bucket,
+               (pos // 32)::BIGINT AS batch_seq,
+               (pos % 32)::INT AS pos_in_batch
+        FROM r
+    """
+    o["batch_pad_stats"] = f"""
+        {_batch_rank_cte}
+        SELECT bucket::INT AS bucket, (pos // 32)::BIGINT AS batch_seq,
+               count(*)::INT AS n_docs, max(n_tok)::INT AS max_len,
+               sum(n_tok)::BIGINT AS sum_len,
+               (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_tokens
+        FROM r GROUP BY 1, 2
     """
     return o
 

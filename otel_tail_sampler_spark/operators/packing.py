@@ -37,7 +37,7 @@ partition-count-independence test).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from otel_tail_sampler_spark.functions.hashing import hash_frac
@@ -396,4 +396,114 @@ def pack_documents_greedy(
 
     return base.groupBy("_pid").applyInPandas(
         pack, "example_id long, tokens array<int>, n_tok int, n_docs int"
+    )
+
+
+def form_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    bucket_edges: tuple = (64, 128, 256, 512),
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    seed: str = "batch",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Length-bucketed batch formation: group sequences of similar length
+    into fixed-size training batches so per-batch padding (to the batch
+    max) stays small — the pad-waste lever for variable-length fine-tune
+    / eval loaders that cannot pack. Adds (bucket int, batch_seq bigint,
+    pos_in_batch int): ``bucket`` = index of the first ``bucket_edges``
+    capacity >= the sequence length (one overflow bucket past the last
+    edge), ``batch_seq`` = 0-based batch ordinal within the bucket,
+    ``pos_in_batch`` = position inside the batch. Within a bucket the
+    order is the md5(id|seed) rank — deterministically "shuffled", so
+    consecutive batches are decorrelated from document order exactly
+    like ``assign_shards``' within-shard order; the final (possibly
+    short) batch per bucket holds the rank tail.
+
+    Partition-count independence (the oracle property): the rank is a
+    pure function of the data — the md5 hex key, subdivided by its own
+    ``sub_prefix_len``-char prefix. Because the subrange key is a PREFIX
+    of the sort key, concatenating subranges in key order IS the global
+    bucket order, so per-(bucket, subrange) local ranks + driver-prefix-
+    summed subrange offsets reconstruct the exact global rank without a
+    single-task-per-bucket window (the skew trap a plain
+    ``Window.partitionBy(bucket)`` ships at corpus scale — 16^2 = 256
+    subranges per bucket by default, 16^3 with ``sub_prefix_len=3``; md5
+    uniformity keeps subranges balanced within a bucket regardless of
+    the length distribution). The offsets ride a broadcast-joined TABLE,
+    not plan literals, so plan size is independent of bucket count.
+
+    Scale shape: one count aggregation (output bounded by buckets x
+    subranges, map-side combinable), one broadcast join, one window
+    whose partitions are corpus/(buckets*256) — no corpus-sized sort or
+    single hot task. Determinism precondition (as pack_sequences): the
+    counts pass and the rank pass are two jobs over ``df``; the input
+    must be identical across them.
+    """
+    spark = df.sparkSession
+    edges = [int(e) for e in bucket_edges]
+    if edges != sorted(edges) or len(set(edges)) != len(edges):
+        raise ValueError("bucket_edges must be strictly increasing")
+    # bucket = #edges below the length, as a plain sum of comparisons:
+    # whole-stage-codegen-friendly, and free of the HOF-captures-outer-
+    # column shape the analyzer mishandles across join deduplication
+    bexpr = F.lit(0)
+    for e in edges:
+        bexpr = bexpr + F.when(F.col(len_col) > e, 1).otherwise(0)
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    base = df.withColumn("bucket", bexpr.cast("int")).withColumn(
+        "_h", h
+    ).withColumn("_sub", F.substring("_h", 1, int(sub_prefix_len)))
+    counts = (
+        base.groupBy("bucket", "_sub")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    rows, acc = [], {}
+    for r in sorted(counts, key=lambda r: (r["bucket"], r["_sub"])):
+        off = acc.get(r["bucket"], 0)
+        rows.append((r["bucket"], r["_sub"], off))
+        acc[r["bucket"]] = off + int(r["_n"])
+    offsets = spark.createDataFrame(
+        rows, "bucket int, _sub string, _off long"
+    ) if rows else spark.createDataFrame([], "bucket int, _sub string, _off long")
+    w = Window.partitionBy("bucket", "_sub").orderBy("_h", id_col)
+    pos = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+    return (
+        base.join(F.broadcast(offsets), ["bucket", "_sub"])
+        .withColumn("_pos", pos)
+        .withColumn(
+            "batch_seq", F.floor(F.col("_pos") / batch_size).cast("long")
+        )
+        .withColumn(
+            "pos_in_batch", F.pmod(F.col("_pos"), F.lit(batch_size)).cast("int")
+        )
+        .drop("_h", "_sub", "_off", "_pos")
+    )
+
+
+def batch_stats(batched: DataFrame, len_col: str = "n_tok") -> DataFrame:
+    """Per-batch padding report over ``form_batches`` output:
+    -> (bucket, batch_seq, n_docs int, max_len int, sum_len bigint,
+    pad_tokens bigint) where ``pad_tokens = n_docs * max_len - sum_len``
+    is the exact waste of padding the batch to its own longest sequence.
+    One map-side-combinable aggregation; output is one row per batch.
+    """
+    return (
+        batched.groupBy("bucket", "batch_seq")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.max(len_col).cast("int").alias("max_len"),
+            F.sum(len_col).cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (
+                F.col("n_docs").cast("long") * F.col("max_len")
+                - F.col("sum_len")
+            ).cast("long"),
+        )
     )

@@ -299,3 +299,108 @@ def test_pack_documents_greedy_scalar_reference_and_invariants(spark):
     )
     packed_tokens = Counter(t for toks, _ in want.values() for t in toks)
     assert packed_tokens == corpus_tokens
+
+
+# ---------------------------------------------------------------------------
+# form_batches / batch_stats
+# ---------------------------------------------------------------------------
+
+
+def _batch_ref(rows, batch_size, edges, seed="batch"):
+    """Independent scalar reference: global md5 rank within bucket."""
+    import hashlib
+
+    def bucket(n):
+        for i, e in enumerate(edges):
+            if n <= e:
+                return i
+        return len(edges)
+
+    def h(did):
+        return hashlib.md5(f"{did}|{seed}".encode()).hexdigest()
+
+    out = {}
+    byb = {}
+    for did, n in rows:
+        byb.setdefault(bucket(n), []).append(did)
+    for b, ids in byb.items():
+        ids.sort(key=lambda d: (h(d), d))
+        for pos, did in enumerate(ids):
+            out[did] = (b, pos // batch_size, pos % batch_size)
+    return out
+
+
+def test_form_batches_matches_scalar_reference(spark):
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    rows = [(f"d{i:03d}", (i * 37) % 300 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    edges = (64, 128, 256)
+    got = {
+        r["doc_id"]: (r["bucket"], r["batch_seq"], r["pos_in_batch"])
+        for r in form_batches(df, batch_size=16, bucket_edges=edges).collect()
+    }
+    assert got == _batch_ref(rows, 16, edges)
+
+
+def test_form_batches_partition_count_independent(spark):
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    rows = [(f"x{i}", i % 90 + 1) for i in range(200)]
+    outs = []
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "doc_id string, n_tok int"
+        ).repartition(nparts)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["bucket"], r["batch_seq"], r["pos_in_batch"])
+                for r in form_batches(df, batch_size=8).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_batch_stats_pad_accounting(spark):
+    from otel_tail_sampler_spark.operators.packing import (
+        batch_stats,
+        form_batches,
+    )
+
+    rows = [(f"d{i}", i % 50 + 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    batched = form_batches(df, batch_size=8, bucket_edges=(16, 32, 48))
+    stats = batch_stats(batched).collect()
+    # every doc accounted for exactly once; waste formula exact
+    assert sum(r["n_docs"] for r in stats) == 100
+    for r in stats:
+        assert r["pad_tokens"] == r["n_docs"] * r["max_len"] - r["sum_len"]
+        assert 0 < r["n_docs"] <= 8
+    # only the rank tail of each bucket may be short
+    short = [
+        (r["bucket"], r["batch_seq"]) for r in stats if r["n_docs"] < 8
+    ]
+    last = {}
+    for r in stats:
+        last[r["bucket"]] = max(last.get(r["bucket"], -1), r["batch_seq"])
+    assert all(bs == last[b] for b, bs in short)
+
+
+def test_form_batches_edges_and_empty(spark):
+    import pytest as _pytest
+
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    empty = spark.createDataFrame([], "doc_id string, n_tok int")
+    assert form_batches(empty, batch_size=4).count() == 0
+    with _pytest.raises(ValueError):
+        form_batches(empty, bucket_edges=(64, 64))
+    # overflow bucket: lengths past the last edge land in bucket len(edges)
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 5)], "doc_id string, n_tok int"
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in form_batches(df, bucket_edges=(8, 16)).collect()
+    }
+    assert got == {"a": 2, "b": 0}
