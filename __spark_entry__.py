@@ -1534,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "length_batches": q_length_batches,
         "batch_pad_stats": q_batch_pad_stats,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2045,6 +2046,18 @@ def q_batch_pad_stats(spark, sf_dir):
         form_batches(tok, batch_size=32, bucket_edges=(48, 56, 64))
     ).select(
         "bucket", "batch_seq", "n_docs", "max_len", "sum_len", "pad_tokens"
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: exact fraction of corpus token
+    occurrences covered by the top-N token types at power-of-two
+    candidate vocab sizes — the vocab-sizing knee chart."""
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return vocab_coverage(
+        tok, cutoffs=(64, 256, 1024, 4096, 16384)
     )
 
 
@@ -3971,6 +3984,30 @@ def oracle_sql() -> dict[str, str]:
                sum(n_tok)::BIGINT AS sum_len,
                (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_tokens
         FROM r GROUP BY 1, 2
+    """
+
+    # Vocabulary coverage curve: DuckDB's own rank window + filtered
+    # sums vs Spark's TakeOrdered + conditional-sum stack — independent
+    # formulations of the same exact integer curve.
+    o["vocab_coverage"] = f"""
+        WITH ex AS (
+          SELECT unnest(tokens) AS t
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        freq AS (SELECT t, count(*)::BIGINT AS f FROM ex GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS v, sum(f)::BIGINT AS n
+                FROM freq),
+        rk AS (
+          SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS r
+          FROM freq),
+        cuts(cutoff) AS (VALUES (64), (256), (1024), (4096), (16384))
+        SELECT c.cutoff::INT AS cutoff, tot.v AS n_types,
+               coalesce(sum(rk.f) FILTER (rk.r <= c.cutoff), 0)::BIGINT
+                 AS covered,
+               tot.n AS total,
+               round(coalesce(sum(rk.f) FILTER (rk.r <= c.cutoff), 0)
+                     / tot.n::DOUBLE, 6) AS coverage
+        FROM cuts c CROSS JOIN tot CROSS JOIN rk
+        GROUP BY 1, 2, 4
     """
     return o
 

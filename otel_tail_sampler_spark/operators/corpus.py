@@ -993,3 +993,73 @@ def rates_for_budget(
             active.remove(s)
     return {s: min(1.0, round(r, 9)) for s, r in rates.items()}
 
+
+
+def vocab_coverage(
+    df: DataFrame,
+    cutoffs: tuple = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768),
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size in
+    ``cutoffs``, the exact fraction of all corpus token OCCURRENCES
+    covered by the that-many most frequent token types ->
+    (cutoff int, n_types bigint, covered bigint, total bigint,
+    coverage double). The curve is the vocab-sizing tool: pick the knee
+    where coverage stops improving; ``remap_rare_tokens`` /
+    ``build_vocab`` then implement the chosen cut.
+
+    Ranking ties break (freq DESC, token ASC) so the curve is
+    deterministic and engine-exact; ``coverage`` is an exact integer
+    ratio rounded query-side (round-before-compare contract).
+
+    Scale shape: the type-frequency table is VOCABULARY-bounded (one row
+    per distinct token id — ~1e5..1e6 for real tokenizers), never
+    corpus-bounded: the explode feeds a map-side-combinable count, the
+    sort-limit to max(cutoffs) is a TakeOrdered (no full sort), and the
+    single-partition rank window that follows runs over <= max(cutoffs)
+    rows by construction — bounded driver-side work, exactly like the
+    model caps in ``build_bigram_model``.
+    """
+    cuts = sorted(int(c) for c in cutoffs)
+    if not cuts or cuts[0] <= 0:
+        raise ValueError("cutoffs must be positive")
+    from pyspark.sql import Window
+
+    freqs = (
+        df.select(F.explode(tok_col).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    totals = freqs.agg(
+        F.count(F.lit(1)).alias("_v"), F.sum("_f").alias("_n")
+    )
+    top = freqs.orderBy(F.desc("_f"), F.asc("_t")).limit(cuts[-1])
+    w = Window.orderBy(F.desc("_f"), F.asc("_t"))
+    ranked = top.withColumn("_r", F.row_number().over(w))
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("_r") <= c, F.col("_f")))
+            .cast("long")
+            .alias(f"_c{c}")
+            for c in cuts
+        ]
+    )
+    stack_args = ", ".join(f"{c}, _c{c}" for c in cuts)
+    curve = sums.selectExpr(
+        f"stack({len(cuts)}, {stack_args}) AS (cutoff, covered)"
+    )
+    return (
+        curve.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cutoff").cast("int"),
+            F.col("_v").cast("long").alias("n_types"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+            F.col("_n").cast("long").alias("total"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("_n"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("cutoff")
+    )

@@ -1613,3 +1613,53 @@ def test_dedup_cluster_stats_hand_computed(spark):
         for r in dedup_cluster_stats(comps).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_scalar_reference(spark):
+    from collections import Counter
+
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    rows = [
+        ("a", [1, 1, 1, 2, 2, 3]),
+        ("b", [2, 3, 4, 5]),
+        ("c", [1, 6]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r["cutoff"]: (r["n_types"], r["covered"], r["total"], r["coverage"])
+        for r in vocab_coverage(df, cutoffs=(1, 2, 3, 100)).collect()
+    }
+    cnt = Counter(t for _, toks in rows for t in toks)
+    # ties (freq desc, token asc): 1(x4), 2(x3), 3(x2), then 4,5,6 by id
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for c in (1, 2, 3, 100):
+        covered = sum(f for _, f in order[:c])
+        assert got[c] == (
+            len(cnt),
+            covered,
+            total,
+            round(covered / total, 6),
+        )
+    # full-vocab cutoff reaches exactly 1.0
+    assert got[100][3] == 1.0
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    # all types have freq 1: cutoff 2 must take the two SMALLEST ids
+    df = spark.createDataFrame(
+        [("a", [9, 3, 7, 1])], "doc_id string, tokens array<int>"
+    )
+    got = {
+        r["cutoff"]: r["covered"]
+        for r in vocab_coverage(df, cutoffs=(2,)).collect()
+    }
+    assert got[2] == 2
