@@ -159,6 +159,8 @@ def main() -> None:
         "semantic_dedup",
         "ngram_counts",
         "bpe_encode",
+        "dsir_select",
+        "length_batches",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5).

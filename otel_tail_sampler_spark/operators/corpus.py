@@ -1018,7 +1018,11 @@ def vocab_coverage(
     sort-limit to max(cutoffs) is a TakeOrdered (no full sort), and the
     single-partition rank window that follows runs over <= max(cutoffs)
     rows by construction — bounded driver-side work, exactly like the
-    model caps in ``build_bigram_model``.
+    model caps in ``build_bigram_model``. The curve and the totals are
+    TWO map-only corpus passes (Spark cannot reuse the un-persisted
+    frequency exchange across the limit and the global agg — the same
+    documented trade as bm25_topk's one-shot); a caller batching many
+    curves should persist ``freqs``' slim (token, freq) projection.
     """
     cuts = sorted(int(c) for c in cutoffs)
     if not cuts or cuts[0] <= 0:

@@ -476,7 +476,8 @@ def form_batches(
         base.join(F.broadcast(offsets), ["bucket", "_sub"])
         .withColumn("_pos", pos)
         .withColumn(
-            "batch_seq", F.floor(F.col("_pos") / batch_size).cast("long")
+            "batch_seq",
+            F.expr(f"_pos div {int(batch_size)}").cast("long"),
         )
         .withColumn(
             "pos_in_batch", F.pmod(F.col("_pos"), F.lit(batch_size)).cast("int")

@@ -410,6 +410,54 @@ def main() -> None:
         span_corruption(tokdf, block=32, span_len=8, rate=0.25),
     )
 
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model,
+        dsir_select,
+    )
+
+    dsir_model = build_dsir_model(
+        tokdf.filter("source = 'svc-00'"), tokdf, n_buckets=1 << 16
+    )
+    section(
+        "DSIR importance selection (score + top-k)",
+        "What to check: the corpus is scored in ONE shuffle-free\n"
+        "MapInPandas stage over the pruned scan (the bucket model rides\n"
+        "a broadcast as two dense arrays; model build + totals are\n"
+        "separate bounded jobs), the fixed-point ratio is a pure\n"
+        "DECIMAL(38,0) projection, and the selection is\n"
+        "TakeOrderedAndProject(k) — the only Window sits above the\n"
+        "bounded k rows.",
+        dsir_select(tokdf, dsir_model, k=100, n_buckets=1 << 16),
+    )
+
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    section(
+        "Length-bucketed batch formation",
+        "What to check: the scan prunes tokens away (only doc_id/n_tok\n"
+        "read when the caller drops payloads); offsets arrive via\n"
+        "BroadcastHashJoin on a TABLE (plan size independent of bucket\n"
+        "count — no literal maps); the ONLY corpus exchange is the hash\n"
+        "partition on (bucket, _sub), and every rank window partitions\n"
+        "on (bucket, md5-prefix subrange), never bucket alone.",
+        form_batches(tokdf, batch_size=32, bucket_edges=(48, 56, 64)).select(
+            "doc_id", "n_tok", "bucket", "batch_seq", "pos_in_batch"
+        ),
+    )
+
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    section(
+        "Vocabulary coverage curve",
+        "What to check: the type-frequency table aggregates two-phase\n"
+        "(partial below the exchange, output vocabulary-bounded); the\n"
+        "top-N cut is TakeOrderedAndProject (no full sort); the one\n"
+        "single-partition rank window runs over <= max(cutoffs) rows\n"
+        "ABOVE that limit; the curve itself is a single agg row\n"
+        "stacked + broadcast-joined to totals.",
+        vocab_coverage(tokdf, cutoffs=(64, 256, 1024, 4096)),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"

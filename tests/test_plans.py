@@ -266,3 +266,66 @@ def test_stratified_sample_windows_are_salted_then_bounded(spark):
     assert "_salt" not in parts[-1]
     # the bare-key window's input is the `_r1 <= quota` survivor set
     assert "_r1" in plan
+
+
+def test_dsir_score_is_shuffle_free_broadcast_kernel(spark, small_dataset):
+    """DSIR scoring must not shuffle the corpus: the bucket model rides a
+    broadcast into one Arrow stage over the scan (model build + totals
+    are separate, already-run jobs), and the select is a bounded
+    TakeOrdered — no corpus-sized sort."""
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model,
+        dsir_select,
+        dsir_score,
+    )
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    model = build_dsir_model(
+        df.limit(50), df, n_buckets=1 << 10
+    )
+    plan = _explain(dsir_score(df, model, n_buckets=1 << 10))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    sel = _explain(dsir_select(df, model, k=10, n_buckets=1 << 10))
+    assert "TakeOrdered" in sel
+
+
+def test_form_batches_no_per_bucket_window_no_literal_offsets(
+    spark, small_dataset
+):
+    """The within-bucket rank must come from (bucket, md5-prefix
+    subrange) windows + a broadcast-joined offsets TABLE: a window
+    partitioned on bucket alone is the single-hot-task trap, and
+    literal-map offsets would grow the plan with bucket count (the
+    k-means plan-literal lesson)."""
+    from otel_tail_sampler_spark.operators.packing import form_batches
+
+    import re
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    out = form_batches(df, batch_size=8, bucket_edges=(40, 52)).select(
+        "doc_id", "n_tok", "bucket", "batch_seq", "pos_in_batch"
+    )
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every rank window partitions on (bucket, subrange), never bucket alone
+    specs = re.findall(r"windowspecdefinition\(bucket[^)]*?\)", plan)
+    assert specs and all("_sub" in s for s in specs)
+    # a caller that drops the payload gets a pruned scan: tokens unread
+    read_schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert read_schemas and all("tokens" not in s for s in read_schemas)
+
+
+def test_vocab_coverage_rank_window_is_cutoff_bounded(
+    spark, small_dataset
+):
+    """The only single-partition window in the coverage curve must sit
+    ABOVE the TakeOrdered limit (<= max cutoff rows), never over the
+    full type table."""
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    plan = _explain(vocab_coverage(df, cutoffs=(8, 64)))
+    assert "TakeOrdered" in plan
+    assert "windowspecdefinition" in plan
