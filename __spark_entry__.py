@@ -1535,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "batch_pad_stats": q_batch_pad_stats,
         "vocab_coverage": q_vocab_coverage,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -2058,6 +2059,18 @@ def q_vocab_coverage(spark, sf_dir):
     tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
     return vocab_coverage(
         tok, cutoffs=(64, 256, 1024, 4096, 16384)
+    )
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Short-to-long curriculum: exact global rank + 4 equal-population
+    phases by token length (md5 tie-break within a length) — the classic
+    length curriculum, reconstructed without a global sort."""
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return curriculum_order(tok, "n_tok", n_phases=4).select(
+        "doc_id", "n_tok", "rank", "phase"
     )
 
 
@@ -4008,6 +4021,27 @@ def oracle_sql() -> dict[str, str]:
                      / tot.n::DOUBLE, 6) AS coverage
         FROM cuts c CROSS JOIN tot CROSS JOIN rk
         GROUP BY 1, 2, 4
+    """
+
+    # Curriculum ordering: DuckDB's own global window vs Spark's
+    # (metric, md5-prefix) two-phase reconstruction — the global-rank
+    # equality is the property under test; only the md5 tie-break
+    # recipe is shared (hash recipe rule).
+    o["curriculum_order"] = f"""
+        WITH tok AS (
+          SELECT doc_id, n_tok
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        r AS (
+          SELECT doc_id, n_tok,
+                 row_number() OVER (
+                   ORDER BY n_tok ASC,
+                            md5(doc_id || '|' || 'curriculum'),
+                            doc_id) - 1 AS rank
+          FROM tok),
+        t AS (SELECT count(*) AS total FROM tok)
+        SELECT doc_id, n_tok::INT AS n_tok, rank::BIGINT AS rank,
+               ((rank * 4) // t.total)::INT AS phase
+        FROM r CROSS JOIN t
     """
     return o
 

@@ -508,3 +508,87 @@ def batch_stats(batched: DataFrame, len_col: str = "n_tok") -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    metric_col: str,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "curriculum",
+    sub_prefix_len: int = 2,
+    descending: bool = False,
+) -> DataFrame:
+    """Curriculum ordering: exact global rank + phase assignment by a
+    difficulty metric (short-to-long length curricula, easy-to-hard
+    rarity/novelty curricula). Adds ``rank`` (0-based global position in
+    (metric, md5(id|seed), id) order — ``descending=True`` for
+    hardest-first) and ``phase`` (``rank * n_phases div total``: equal-
+    population phases, earlier phases = lower metric). Ties on the
+    metric break by the md5 hash, so same-difficulty docs land in a
+    deterministic shuffled order rather than source order.
+
+    Contract: the metric must be an INTEGER of bounded distinct
+    cardinality (token lengths, fixed-point scores, count signals — the
+    module family's exact-integer metrics all qualify): the offsets pass
+    collects one row per (metric value, md5 prefix) to the driver, i.e.
+    distinct-metrics x 16^``sub_prefix_len``. Quantize a high-
+    cardinality metric upstream (integer shift/div) before ranking on
+    it.
+
+    Scale shape (the form_batches subrange scheme, globalized): because
+    the hash prefix refines a FIXED metric value, (metric, prefix)
+    groups concatenated in driver-sorted order are exactly the global
+    sort order, so per-group local ranks + prefix-summed offsets
+    reconstruct the exact global rank with no corpus-wide sort and no
+    single-task window — a degenerate metric (every doc the same value)
+    still spreads over 16^``sub_prefix_len`` subranges. Offsets ride a
+    broadcast-joined table; one corpus exchange on (metric, subrange).
+    Determinism precondition: counts pass and rank pass must see the
+    same input (as pack_sequences).
+    """
+    spark = df.sparkSession
+    if n_phases <= 0:
+        raise ValueError("n_phases must be positive")
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    base = df.withColumn("_h", h).withColumn(
+        "_sub", F.substring("_h", 1, int(sub_prefix_len))
+    )
+    counts = (
+        base.groupBy(metric_col, "_sub")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    key = lambda r: (  # noqa: E731
+        (-r[metric_col] if descending else r[metric_col]),
+        r["_sub"],
+    )
+    rows, acc = [], 0
+    for r in sorted(counts, key=key):
+        rows.append((r[metric_col], r["_sub"], acc))
+        acc += int(r["_n"])
+    total = acc
+    schema = f"{metric_col} long, _sub string, _off long"
+    offsets = spark.createDataFrame(
+        [(int(m), s, o) for m, s, o in rows], schema
+    ) if rows else spark.createDataFrame([], schema)
+    w = Window.partitionBy(metric_col, "_sub").orderBy("_h", id_col)
+    joined = base.withColumn(
+        "_m", F.col(metric_col).cast("long")
+    ).join(
+        F.broadcast(offsets.withColumnRenamed(metric_col, "_m")),
+        ["_m", "_sub"],
+    )
+    rank = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+    return (
+        joined.withColumn("rank", rank)
+        .withColumn(
+            "phase",
+            F.expr(f"rank * {int(n_phases)} div {max(total, 1)}").cast(
+                "int"
+            ),
+        )
+        .drop("_h", "_sub", "_off", "_m")
+    )

@@ -445,6 +445,20 @@ def main() -> None:
         ),
     )
 
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    section(
+        "Curriculum ordering (exact global rank, no global sort)",
+        "What to check: NO empty-partition-spec window anywhere — the\n"
+        "exact global rank is reconstructed from (metric, md5-prefix\n"
+        "subrange) windows plus a BroadcastHashJoin on the offsets\n"
+        "table; one corpus exchange on (metric, subrange); a degenerate\n"
+        "metric still spreads over 256 subranges.",
+        curriculum_order(tokdf, "n_tok", n_phases=4).select(
+            "doc_id", "n_tok", "rank", "phase"
+        ),
+    )
+
     from otel_tail_sampler_spark.operators.corpus import vocab_coverage
 
     section(

@@ -404,3 +404,79 @@ def test_form_batches_edges_and_empty(spark):
         for r in form_batches(df, bucket_edges=(8, 16)).collect()
     }
     assert got == {"a": 2, "b": 0}
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def _curr_ref(rows, n_phases, seed="curriculum", descending=False):
+    import hashlib
+
+    def h(did):
+        return hashlib.md5(f"{did}|{seed}".encode()).hexdigest()
+
+    order = sorted(
+        rows,
+        key=lambda r: (
+            -r[1] if descending else r[1],
+            h(r[0]),
+            r[0],
+        ),
+    )
+    total = len(rows)
+    return {
+        did: (rank, rank * n_phases // total)
+        for rank, (did, _) in enumerate(order)
+    }
+
+
+def test_curriculum_order_matches_scalar_reference(spark):
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    rows = [(f"d{i:03d}", (i * 13) % 40 + 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    for desc in (False, True):
+        got = {
+            r["doc_id"]: (r["rank"], r["phase"])
+            for r in curriculum_order(
+                df, "n_tok", n_phases=4, descending=desc
+            ).collect()
+        }
+        assert got == _curr_ref(rows, 4, descending=desc)
+
+
+def test_curriculum_order_degenerate_metric_spreads(spark):
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    # every doc has the same metric: rank must still be a permutation
+    # (md5 tie-break) and phases equal-population
+    rows = [(f"z{i}", 7) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = curriculum_order(df, "n_tok", n_phases=4).collect()
+    assert sorted(r["rank"] for r in out) == list(range(64))
+    from collections import Counter
+
+    assert Counter(r["phase"] for r in out) == {0: 16, 1: 16, 2: 16, 3: 16}
+    assert {r["doc_id"]: (r["rank"], r["phase"]) for r in out} == _curr_ref(
+        rows, 4
+    )
+
+
+def test_curriculum_order_partition_count_independent(spark):
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    rows = [(f"q{i}", i % 9) for i in range(120)]
+    outs = []
+    for nparts in (1, 5):
+        df = spark.createDataFrame(
+            rows, "doc_id string, n_tok int"
+        ).repartition(nparts)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["rank"], r["phase"])
+                for r in curriculum_order(df, "n_tok", n_phases=3).collect()
+            )
+        )
+    assert outs[0] == outs[1]

@@ -329,3 +329,23 @@ def test_vocab_coverage_rank_window_is_cutoff_bounded(
     plan = _explain(vocab_coverage(df, cutoffs=(8, 64)))
     assert "TakeOrdered" in plan
     assert "windowspecdefinition" in plan
+
+
+def test_curriculum_order_no_global_sort_window(spark, small_dataset):
+    """The exact global rank must come from (metric, md5-prefix subrange)
+    windows + broadcast offsets — an empty-partition-spec window (the
+    whole corpus through one task) must never appear, even when the
+    metric is degenerate."""
+    import re
+
+    from otel_tail_sampler_spark.operators.packing import curriculum_order
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    plan = _explain(
+        curriculum_order(df, "n_tok", n_phases=4).select(
+            "doc_id", "n_tok", "rank", "phase"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs and all("_sub" in s for s in specs)
