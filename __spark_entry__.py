@@ -1536,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_pad_stats": q_batch_pad_stats,
         "vocab_coverage": q_vocab_coverage,
         "curriculum_order": q_curriculum_order,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2060,6 +2061,22 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(
         tok, cutoffs=(64, 256, 1024, 4096, 16384)
     )
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance RESAMPLING (the paper's sampled selection, made
+    deterministic): weighted Bernoulli keep with an exact-integer md5
+    acceptance test at rate 0.5 — high-ratio docs near-certain keeps,
+    low-ratio docs kept proportionally."""
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model,
+        dsir_sample,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    target = tok.filter(F.col("source") == "svc-00")
+    model = build_dsir_model(target, tok, n_buckets=1 << 16)
+    return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
 
 
 def q_curriculum_order(spark, sf_dir):
@@ -3916,7 +3933,7 @@ def oracle_sql() -> dict[str, str]:
     # equality tests in tests/test_selection.py); HUGEINT carries the
     # S * mass * (R+B) intermediates the Spark side rides DECIMAL(38,0)
     # for, and both engines' integer division truncates non-negatives.
-    o["dsir_select"] = f"""
+    _dsir_sc_cte = f"""
         WITH tok AS (
           SELECT doc_id, tokens, source
           FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
@@ -3954,7 +3971,9 @@ def oracle_sql() -> dict[str, str]:
                               * (tot.r_total + 65536))
                            // (per.rmass::HUGEINT * (tot.t_total + 65536))
                       ELSE 1048576 END AS ratio
-          FROM tok t LEFT JOIN per USING (doc_id) CROSS JOIN tot),
+          FROM tok t LEFT JOIN per USING (doc_id) CROSS JOIN tot)"""
+    o["dsir_select"] = f"""
+        {_dsir_sc_cte},
         r AS (
           SELECT *, row_number() OVER (ORDER BY ratio DESC, doc_id ASC)
                       AS rank
@@ -3962,6 +3981,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_feat::INT AS n_feat, target_mass, raw_mass,
                ratio::BIGINT AS ratio_fp, rank::INT AS rank
         FROM r WHERE rank <= 500
+    """
+    # importance RESAMPLING: exact-integer md5 acceptance test,
+    # rate 0.5 -> r_fp = 524288; keep iff h32 * 2^40 < ratio * r_fp * 2^32
+    o["dsir_sample"] = f"""
+        {_dsir_sc_cte}
+        SELECT doc_id, n_feat::INT AS n_feat, target_mass, raw_mass,
+               ratio::BIGINT AS ratio_fp
+        FROM sc
+        WHERE ('0x' || substring(md5(doc_id || '|dsir'), 1, 8))::BIGINT
+                * 1099511627776::HUGEINT
+              < ratio::HUGEINT * 524288 * 4294967296
     """
 
     # Length-bucketed batching: the md5 rank key is the one shared

@@ -280,3 +280,74 @@ def dsir_select(
     top = scored.orderBy(F.desc("ratio_fp"), F.asc(id_col)).limit(int(k))
     w = Window.orderBy(F.desc("ratio_fp"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def dsir_sample(
+    df: DataFrame,
+    model: DataFrame,
+    rate: float,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    seed: str = "dsir",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """DSIR's importance RESAMPLING as a deterministic weighted Bernoulli
+    keep: document kept with probability ``min(1, rate * w)`` where
+    ``w = ratio_fp / S`` is the fixed-point importance ratio — so the
+    expected corpus composition matches importance resampling while the
+    keep decision stays a pure function of the data (md5 acceptance
+    test, the hash-sampling recipe every sampler in this repo uses).
+    ``dsir_select`` is the rank-deterministic top-k variant; this one
+    preserves diversity the way the paper's sampler does (high-ratio
+    docs are near-certain keeps, low-ratio docs survive at a rate
+    proportional to their ratio rather than being cut at a threshold).
+
+    Exact-integer acceptance: keep iff
+    ``hash32 * S * 2^20 < ratio_fp * round(rate * 2^20) * 2^32``
+    with ``hash32 = int(md5(id|seed)[:8], 16)`` — all products ride
+    DECIMAL(38,0) (max ~2^72), both engines compare identically, and
+    the min(1, .) clamp falls out of the inequality (an oversized right
+    side accepts every hash). Keep sets are NESTED in ``rate``: raising
+    the rate only adds documents.
+
+    -> the surviving rows of ``dsir_score``'s output (same columns).
+    Scale shape: identical to dsir_score (shuffle-free broadcast
+    kernel) plus one codegen filter — nothing new moves.
+    """
+    if rate < 0:
+        raise ValueError("rate must be >= 0")
+    s = 1 << scale_bits
+    r_fp = int(round(rate * (1 << 20)))
+    scored = dsir_score(
+        df,
+        model,
+        n_buckets=n_buckets,
+        scale_bits=scale_bits,
+        id_col=id_col,
+        tok_col=tok_col,
+        kernel=kernel,
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        scored.withColumn("_h32", h32)
+        .filter(
+            F.expr(
+                f"CAST(_h32 AS DECIMAL(38,0)) * {s * (1 << 20)}"
+                f" < CAST(ratio_fp AS DECIMAL(38,0))"
+                f"   * {r_fp * 4294967296}"
+            )
+        )
+        .drop("_h32")
+    )

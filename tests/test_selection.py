@@ -136,3 +136,43 @@ def test_empty_target_is_uniform_prior(spark):
     got = dsir_score(df, model, n_buckets=16).collect()
     for r in got:
         assert r["target_mass"] == r["n_feat"]
+
+
+def test_sample_matches_scalar_reference_and_nests(spark):
+    import hashlib
+
+    from otel_tail_sampler_spark.operators.selection import dsir_sample
+
+    rows = [(f"s{i:02d}", [i % 5, (i * 7) % 5, (i * 3) % 5]) for i in range(60)]
+    df = _df(spark, rows)
+    target = df.filter("doc_id < 's10'")
+    model = build_dsir_model(target, df, n_buckets=32)
+    ref = _ref(rows, {d for d, _ in rows if d < "s10"}, 32)
+
+    def ref_keep(rate):
+        r_fp = int(round(rate * (1 << 20)))
+        keep = set()
+        for did, _ in rows:
+            h32 = int(
+                hashlib.md5(f"{did}|dsir".encode()).hexdigest()[:8], 16
+            )
+            ratio = ref[did][3]
+            if h32 * (1 << 20) * (1 << 20) < ratio * r_fp * (1 << 32):
+                keep.add(did)
+        return keep
+
+    prev = set()
+    for rate in (0.0, 0.3, 0.8, 2.0):
+        got = {
+            r["doc_id"]
+            for r in dsir_sample(df, model, rate, n_buckets=32).collect()
+        }
+        assert got == ref_keep(rate), rate
+        assert prev <= got  # nested keep sets
+        prev = got
+    assert ref_keep(0.0) == set()
+    # a huge rate saturates min(1, .): everything kept
+    assert {
+        r["doc_id"]
+        for r in dsir_sample(df, model, 1e6, n_buckets=32).collect()
+    } == {d for d, _ in rows}
