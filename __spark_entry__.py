@@ -1537,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "curriculum_order": q_curriculum_order,
         "dsir_sample": q_dsir_sample,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -2061,6 +2062,15 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(
         tok, cutoffs=(64, 256, 1024, 4096, 16384)
     )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility: exact chars-per-token (2^20 fixed
+    point) for whitespace vs BPE-ish subword tokenization — the
+    tokenizer-selection rollup."""
+    from otel_tail_sampler_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
 
 
 def q_dsir_sample(spark, sf_dir):
@@ -4051,6 +4061,30 @@ def oracle_sql() -> dict[str, str]:
                      / tot.n::DOUBLE, 6) AS coverage
         FROM cuts c CROSS JOIN tot CROSS JOIN rk
         GROUP BY 1, 2, 4
+    """
+
+    # Tokenizer fertility: reuses the token_counts fragments (the
+    # lookaround-vs-maximal-run equivalence is already attested there),
+    # rolled up per source with HUGEINT fixed-point division.
+    o["tokenizer_fertility"] = """
+        WITH c AS (
+          SELECT source,
+                 length(text)::BIGINT AS nc,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END)::BIGINT AS ws,
+                 len(regexp_extract_all(text,
+                     '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]'))::BIGINT AS bp
+          FROM documents)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(nc)::BIGINT AS sum_chars,
+               sum(ws)::BIGINT AS sum_ws,
+               sum(bp)::BIGINT AS sum_bpe,
+               ((1048576::HUGEINT * sum(nc))
+                 // greatest(sum(ws), 1))::BIGINT AS chars_per_ws_fp,
+               ((1048576::HUGEINT * sum(nc))
+                 // greatest(sum(bp), 1))::BIGINT AS chars_per_bpe_fp
+        FROM c GROUP BY 1
     """
 
     # Curriculum ordering: DuckDB's own global window vs Spark's

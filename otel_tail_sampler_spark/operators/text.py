@@ -537,3 +537,55 @@ def winnow_fingerprints_poly(
     return spread_small_input(
         docs.select(F.col(id_col), F.col(text_col))
     ).mapInPandas(fn, f"doc_id {id_type}, fp long")
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per ``by`` group: how many characters
+    each tokenization scheme spends per token ->
+    (group, n_docs bigint, sum_chars bigint, sum_ws bigint,
+    sum_bpe bigint, chars_per_ws_fp bigint, chars_per_bpe_fp bigint).
+    ``ws`` counts whitespace words, ``bpe`` the BPE-ish subword proxy
+    (word pieces + digit runs + punctuation); the fixed-point ratios are
+    2^20-scaled exact integer divisions (the BM25 idiom), so a tokenizer
+    comparison ("does BPE earn its 1.3x token inflation on src7's
+    punctuation-heavy text?") is bit-reproducible. High chars-per-token
+    = compressive tokenization; a source whose ratio diverges from the
+    corpus norm is mis-tokenized or malformed.
+
+    Scale shape: one map-side-combinable aggregation over a projection;
+    output bounded by group cardinality. Zero regex work beyond the two
+    count expressions already used by token_counts.
+    """
+    s = 1 << 20
+    agg = (
+        docs.select(
+            F.col(by).alias("grp"),
+            F.length(F.col(text_col)).cast("long").alias("_nc"),
+            token_count_ws(F.col(text_col)).cast("long").alias("_ws"),
+            token_count_bpe_ish(F.col(text_col)).cast("long").alias("_bp"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("sum_chars"),
+            F.sum("_ws").cast("long").alias("sum_ws"),
+            F.sum("_bp").cast("long").alias("sum_bpe"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(by),
+        "n_docs",
+        "sum_chars",
+        "sum_ws",
+        "sum_bpe",
+        F.expr(f"CAST({s} AS DECIMAL(38,0)) * sum_chars"
+               " div greatest(sum_ws, 1)").cast("bigint")
+        .alias("chars_per_ws_fp"),
+        F.expr(f"CAST({s} AS DECIMAL(38,0)) * sum_chars"
+               " div greatest(sum_bpe, 1)").cast("bigint")
+        .alias("chars_per_bpe_fp"),
+    )

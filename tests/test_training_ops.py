@@ -1663,3 +1663,40 @@ def test_vocab_coverage_tie_break_deterministic(spark):
         for r in vocab_coverage(df, cutoffs=(2,)).collect()
     }
     assert got[2] == 2
+
+
+def test_tokenizer_fertility_scalar_reference(spark):
+    import re
+
+    from otel_tail_sampler_spark.operators.text import tokenizer_fertility
+
+    rows = [
+        ("a", "s1", "hello world, it's 42 tokens!"),
+        ("b", "s1", "   "),
+        ("c", "s2", "one-two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["sum_chars"], r["sum_ws"], r["sum_bpe"],
+            r["chars_per_ws_fp"], r["chars_per_bpe_fp"],
+        )
+        for r in tokenizer_fertility(df).collect()
+    }
+
+    def ws(t):
+        return len(t.split()) if t.strip() else 0
+
+    def bp(t):
+        return len(re.findall(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]", t))
+
+    for src in ("s1", "s2"):
+        docs = [(t) for _, s, t in rows if s == src]
+        nc = sum(len(t) for t in docs)
+        w = sum(ws(t) for t in docs)
+        b = sum(bp(t) for t in docs)
+        assert got[src] == (
+            len(docs), nc, w, b,
+            (1 << 20) * nc // max(w, 1),
+            (1 << 20) * nc // max(b, 1),
+        )
