@@ -2011,15 +2011,17 @@ def q_dsir_select(spark, sf_dir):
     models for the svc-00 TARGET domain vs the full RAW corpus; every
     doc scored by the exact fixed-point likelihood ratio; deterministic
     top-500 most-target-like selection (Gumbel resampling replaced by
-    rank order — module notes in operators/selection.py)."""
+    rank order — module notes in operators/selection.py). Target is a
+    slice of raw, so the model builds in ONE corpus pass."""
     from otel_tail_sampler_spark.operators.selection import (
-        build_dsir_model,
+        build_dsir_model_partitioned,
         dsir_select,
     )
 
     tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
-    target = tok.filter(F.col("source") == "svc-00")
-    model = build_dsir_model(target, tok, n_buckets=1 << 16)
+    model = build_dsir_model_partitioned(
+        tok, F.col("source") == "svc-00", n_buckets=1 << 16
+    )
     return dsir_select(tok, model, k=500, n_buckets=1 << 16)
 
 
@@ -2079,13 +2081,14 @@ def q_dsir_sample(spark, sf_dir):
     acceptance test at rate 0.5 — high-ratio docs near-certain keeps,
     low-ratio docs kept proportionally."""
     from otel_tail_sampler_spark.operators.selection import (
-        build_dsir_model,
+        build_dsir_model_partitioned,
         dsir_sample,
     )
 
     tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
-    target = tok.filter(F.col("source") == "svc-00")
-    model = build_dsir_model(target, tok, n_buckets=1 << 16)
+    model = build_dsir_model_partitioned(
+        tok, F.col("source") == "svc-00", n_buckets=1 << 16
+    )
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
 
 

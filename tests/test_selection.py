@@ -176,3 +176,22 @@ def test_sample_matches_scalar_reference_and_nests(spark):
         r["doc_id"]
         for r in dsir_sample(df, model, 1e6, n_buckets=32).collect()
     } == {d for d, _ in rows}
+
+
+def test_partitioned_model_equals_two_corpus_build(spark):
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model_partitioned,
+    )
+
+    df = _df(spark, VECS)
+    two = build_dsir_model(
+        df.filter(df.doc_id.isin(*TARGET_IDS)), df, n_buckets=32
+    )
+    one = build_dsir_model_partitioned(
+        df, F.col("doc_id").isin(*TARGET_IDS), n_buckets=32
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, one.collect())
+    )
