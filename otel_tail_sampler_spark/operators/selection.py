@@ -120,10 +120,20 @@ def dsir_score(
     id_col: str = "doc_id",
     tok_col: str = "tokens",
     kernel: str = "arrow",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Score each document against a built DSIR model:
-    -> (id, n_feat int, target_mass bigint, raw_mass bigint,
+    -> (id, *keep_cols, n_feat int, target_mass bigint, raw_mass bigint,
     ratio_fp bigint). See the module docstring for the exact formula.
+    ``keep_cols`` ride through the scoring stage unchanged (payload
+    pass-through for pipeline/streaming composition — the arrow kernel
+    echoes them per batch; the jvm kernel re-selects them from the
+    input).
+
+    Streaming: the default arrow kernel is a STATELESS map, legal in a
+    streaming plan when ``model`` is a batch DataFrame (collected at
+    composition time) — run_prep_stream's DSIR gate uses exactly this;
+    the jvm kernel's groupBy/join is batch-only.
 
     Determinism precondition (shared with ``score_bigram_novelty``):
     the model is materialized once (collect/broadcast) and scoring runs
@@ -154,8 +164,11 @@ def dsir_score(
                 ).alias("_rm"),
             )
         )
-        stats = df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        stats = df.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols]
+        ).join(agg, id_col, "left").select(
             id_col,
+            *keep_cols,
             F.coalesce(F.col("_nf"), F.lit(0)).alias("n_feat"),
             F.coalesce(F.col("_tm"), F.lit(0)).cast("long").alias(
                 "target_mass"
@@ -212,19 +225,22 @@ def dsir_score(
                     one = nfe == 0  # reduceat quirk on empty segments
                     tm[one] = 0
                     rm[one] = 0
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "n_feat": nfe.astype(np.int32),
-                        "target_mass": tm,
-                        "raw_mass": rm,
-                    }
-                )
+                out = {id_col: pdf[id_col]}
+                for c in keep_cols:
+                    out[c] = pdf[c]
+                out["n_feat"] = nfe.astype(np.int32)
+                out["target_mass"] = tm
+                out["raw_mass"] = rm
+                yield pd.DataFrame(out)
 
-        id_type = df.schema[id_col].dataType.simpleString()
-        stats = df.select(F.col(id_col), F.col(tok_col)).mapInPandas(
+        typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        keep_ddl = "".join(f", {c} {typ[c]}" for c in keep_cols)
+        in_cols = [id_col, *keep_cols]
+        if tok_col not in in_cols:  # tok_col may already ride keep_cols
+            in_cols.append(tok_col)
+        stats = df.select(*[F.col(c) for c in in_cols]).mapInPandas(
             fn,
-            f"{id_col} {id_type}, n_feat int,"
+            f"{id_col} {typ[id_col]}{keep_ddl}, n_feat int,"
             " target_mass long, raw_mass long",
         )
     else:
@@ -242,6 +258,7 @@ def dsir_score(
     )
     return stats.select(
         id_col,
+        *keep_cols,
         "n_feat",
         "target_mass",
         "raw_mass",
@@ -292,6 +309,7 @@ def dsir_sample(
     tok_col: str = "tokens",
     seed: str = "dsir",
     kernel: str = "arrow",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """DSIR's importance RESAMPLING as a deterministic weighted Bernoulli
     keep: document kept with probability ``min(1, rate * w)`` where
@@ -328,6 +346,7 @@ def dsir_sample(
         id_col=id_col,
         tok_col=tok_col,
         kernel=kernel,
+        keep_cols=keep_cols,
     )
     h32 = F.conv(
         F.substring(

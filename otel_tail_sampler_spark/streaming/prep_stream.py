@@ -77,6 +77,8 @@ def tokenize_dedup_stream(
     ttl_minutes: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    select_fn=None,
+    extra_payload_cols: tuple = (),
 ) -> DataFrame:
     """Tokenized, cross-batch-deduplicated document stream:
     -> (digest, doc_id, source, tokens array<int>, n_tok int,
@@ -87,6 +89,13 @@ def tokenize_dedup_stream(
     is projected away by the tokenizer), with the tokenized payload
     riding the elected row via ``payload_cols``. Tokens never enter the
     state store — state stays O(distinct digests), not O(corpus bytes).
+
+    ``select_fn`` (optional): a STATELESS tokenized-stream transform
+    applied between tokenize and dedup — the hook run_prep_stream's
+    DSIR gate uses. It must preserve (id, source, tokens, n_tok,
+    _digest) and may only drop rows / add columns that are pure row
+    functions (streaming-legal, and selection-before-dedup keeps the
+    state store from ever holding digests of docs the gate discards).
     """
     from otel_tail_sampler_spark.operators.text import hash_tokenize
     from otel_tail_sampler_spark.streaming.dedup_stream import dedup_stream
@@ -99,12 +108,14 @@ def tokenize_dedup_stream(
         id_col=id_col,
         keep_cols=("source", "_digest"),
     )
+    if select_fn is not None:
+        toks = select_fn(toks)
     return dedup_stream(
         toks,
         id_col=id_col,
         ttl_minutes=ttl_minutes,
         digest_col="_digest",
-        payload_cols=("source", "tokens", "n_tok"),
+        payload_cols=("source", "tokens", "n_tok", *extra_payload_cols),
     )
 
 
@@ -119,6 +130,9 @@ def run_prep_stream(
     ttl_minutes: int | None = None,
     available_now: bool = True,
     schema=None,
+    dsir_model=None,
+    dsir_rate: float = 1.0,
+    dsir_n_buckets: int = 1 << 16,
 ):
     """Wire the streaming prep leg end-to-end over a documents directory
     and return the started StreamingQuery. Output lands under
@@ -135,6 +149,13 @@ def run_prep_stream(
     explicitly — REQUIRED for a deployment that starts before producers
     write the first file: the fallback probe is an eager batch read of
     ``documents_dir`` and throws on an empty directory.
+
+    ``dsir_model`` (optional): a BATCH (bucket, t_freq, r_freq) model
+    from build_dsir_model* — the offline-trained / online-applied
+    pattern: the model collects into the arrow scoring kernel at
+    composition time and each micro-batch is importance-resampled at
+    ``dsir_rate`` (exact md5 acceptance, dedup state never sees
+    rejected docs). The kept rows carry their ``ratio_fp``.
     """
     if schema is None:
         schema = spark.read.parquet(documents_dir).schema
@@ -143,8 +164,25 @@ def run_prep_stream(
         docs, min_words=min_words, max_words=max_words,
         max_dup_word_frac=max_dup_word_frac,
     )
+    select_fn = None
+    if dsir_model is not None:
+        from otel_tail_sampler_spark.operators.selection import dsir_sample
+
+        def select_fn(toks):  # noqa: F811 — the documented hook
+            return dsir_sample(
+                toks,
+                dsir_model,
+                rate=dsir_rate,
+                n_buckets=dsir_n_buckets,
+                keep_cols=("source", "n_tok", "tokens", "_digest"),
+            ).drop("n_feat", "target_mass", "raw_mass")
+
     deduped = tokenize_dedup_stream(
-        gated, vocab_size=vocab_size, ttl_minutes=ttl_minutes
+        gated,
+        vocab_size=vocab_size,
+        ttl_minutes=ttl_minutes,
+        select_fn=select_fn,
+        extra_payload_cols=("ratio_fp",) if dsir_model is not None else (),
     )
     writer = (
         deduped.writeStream.outputMode("append")

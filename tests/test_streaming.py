@@ -384,3 +384,68 @@ def test_prep_stream_empty_source_with_explicit_schema(spark, tmp_path):
     # the probe fallback on an empty dir throws (documented contract)
     with pytest.raises(Exception):
         run_prep_stream(spark, str(src), str(tmp_path / "out2"))
+
+
+def test_prep_stream_dsir_gate_matches_batch_sample(spark, tmp_path_factory):
+    """The streaming DSIR gate (offline model, online apply) keeps
+    EXACTLY the batch dsir_sample keep set over the same gated input,
+    and the kept rows carry ratio_fp through the dedup stage."""
+    import shutil
+
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model_partitioned,
+        dsir_sample,
+    )
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+    from otel_tail_sampler_spark.streaming.prep_stream import run_prep_stream
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("prep_dsir")
+    src = root / "docs_in"
+    out = root / "out"
+    src.mkdir()
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    rows = [
+        (
+            i,
+            " ".join(words[(i + j) % len(words)] for j in range(8))
+            + f" uniq{i}",
+            "en",
+            "tgt" if i % 4 == 0 else "raw",
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "w"))
+    for f in (root / "w").glob("*.parquet"):
+        shutil.copyfile(f, src / "w.parquet")
+
+    # offline: model trained on the batch-tokenized view of the same data
+    batch_toks = hash_tokenize(
+        spark.read.parquet(str(src)), vocab_size=256,
+        keep_cols=("source",),
+    )
+    model = build_dsir_model_partitioned(
+        batch_toks, F.col("source") == "tgt", n_buckets=128
+    )
+    model = spark.createDataFrame(model.collect(), model.schema)  # pin
+
+    q = run_prep_stream(
+        spark, str(src), str(out), vocab_size=256, min_words=2,
+        dsir_model=model, dsir_rate=0.7, dsir_n_buckets=128,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/tokenized").toPandas()
+
+    # batch reference: same gate chain = tokenize -> dsir -> first-wins
+    # dedup (all texts distinct here, so dedup is identity)
+    want = {
+        r["doc_id"]: r["ratio_fp"]
+        for r in dsir_sample(
+            batch_toks, model, rate=0.7, n_buckets=128
+        ).collect()
+    }
+    assert {int(d): int(r) for d, r in zip(got["doc_id"], got["ratio_fp"])} \
+        == want
+    assert 0 < len(got) < 40  # the gate actually bites both ways
