@@ -3996,13 +3996,17 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= 500
     """
     # importance RESAMPLING: exact-integer md5 acceptance test,
-    # rate 0.5 -> r_fp = 524288; keep iff h32 * 2^40 < ratio * r_fp * 2^32
+    # rate 0.5 -> r_fp = 524288; keep iff h32 * 2^40 < ratio * r_fp * 2^32.
+    # The ratio >= ceil(2^40 / r_fp) saturation disjunct mirrors the Spark
+    # side's overflow guard (implied by the product inequality, so the
+    # keep set is unchanged; it bounds the evaluated products identically)
     o["dsir_sample"] = f"""
         {_dsir_sc_cte}
         SELECT doc_id, n_feat::INT AS n_feat, target_mass, raw_mass,
                ratio::BIGINT AS ratio_fp
         FROM sc
-        WHERE ('0x' || substring(md5(doc_id || '|dsir'), 1, 8))::BIGINT
+        WHERE ratio >= 2097152
+           OR ('0x' || substring(md5(doc_id || '|dsir'), 1, 8))::BIGINT
                 * 1099511627776::HUGEINT
               < ratio::HUGEINT * 524288 * 4294967296
     """

@@ -452,6 +452,44 @@ def split_corpus(
     )
 
 
+def _batch_bigram_pairs(arrs, lens):
+    """numpy twin of ``_adjacent_bigrams`` over a whole Arrow batch of
+    ragged token arrays: ONE flat packed-pair stream for the batch ->
+    (pairs int64, cross bool mask, starts, nz). ``cross`` marks pairs
+    that span two documents (masked out of every per-doc reduction);
+    ``starts``/``nz`` drive ``_segment_sums``. Shared by the bigram
+    scorer and the DSIR scorer so the pack formula and the boundary
+    bookkeeping have ONE numpy implementation (the Spark-side twin has
+    its own planted INT32_MIN test)."""
+    import numpy as np
+
+    nz = lens > 0
+    flat = np.concatenate([a for a in arrs if a.size])
+    pairs = flat[:-1] * np.int64(4294967296) + (
+        flat[1:] & np.int64(4294967295)
+    )
+    cum = np.cumsum(lens[nz])
+    cross = np.zeros(pairs.size, bool)
+    cross[cum[:-1] - 1] = True
+    starts = np.concatenate(([0], cum[:-1]))
+    return pairs, cross, starts, nz
+
+
+def _segment_sums(per_pair, cross, starts, nbi, nz):
+    """Per-document sums of a per-pair value stream: zero out the
+    boundary-crossing pairs, append a zero sentinel so every reduceat
+    start stays in bounds, and force empty segments to 0 afterwards
+    (reduceat returns a[i], not 0, for an empty segment — the
+    single-token-doc quirk). -> int64 array sized like ``nbi``."""
+    import numpy as np
+
+    vals = np.append(np.where(cross, np.int64(0), per_pair), 0)
+    out = np.zeros(nbi.size, np.int64)
+    out[nz] = np.add.reduceat(vals, starts)
+    out[nbi == 0] = 0
+    return out
+
+
 def _adjacent_bigrams(tok_col: str):
     """Packed adjacent-bigram array expression, shared by
     :func:`build_bigram_model` and :func:`score_bigram_novelty` so the
@@ -606,11 +644,9 @@ def score_bigram_novelty(
         # batch-vectorized: ONE concatenate + searchsorted + reduceat per
         # Arrow batch instead of a per-document Python loop (the loop was
         # ~4us/doc of pure interpreter overhead — the whole secondary's
-        # cost at 600k docs). Documents are segmented in the flat pair
-        # stream; boundary-crossing pairs are masked out, and a zero
-        # sentinel keeps every reduceat start index in bounds.
+        # cost at 600k docs). Flat-stream segmentation shared with the
+        # DSIR scorer via _batch_bigram_pairs/_segment_sums.
         vb, vf = b.value
-        K = np.int64(4294967296)
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -620,31 +656,22 @@ def score_bigram_novelty(
             nbi = np.maximum(lens - 1, 0)
             nu = np.zeros(n, np.int64)
             hs = np.zeros(n, np.int64)
-            nz = lens > 0
             total = int(lens.sum())
             if total >= 2 and vb.size:
-                flat = np.concatenate([a for a in arrs if a.size])
-                pairs = flat[:-1] * K + (flat[1:] & np.int64(4294967295))
+                pairs, cross, starts, nz = _batch_bigram_pairs(arrs, lens)
                 idx = np.searchsorted(vb, pairs)
                 idx[idx == vb.size] = 0
                 hit = vb[idx] == pairs
-                cum = np.cumsum(lens[nz])
-                cross = np.zeros(pairs.size, bool)
-                cross[cum[:-1] - 1] = True  # pairs spanning two documents
-                unseen_c = np.append(
-                    np.where(cross, np.int64(0), (~hit).astype(np.int64)), 0
+                nu = _segment_sums(
+                    (~hit).astype(np.int64), cross, starts, nbi, nz
                 )
-                freq_c = np.append(
-                    np.where(cross | ~hit, np.int64(0), vf[idx]), 0
+                hs = _segment_sums(
+                    np.where(~hit, np.int64(0), vf[idx]),
+                    cross,
+                    starts,
+                    nbi,
+                    nz,
                 )
-                starts = np.concatenate(([0], cum[:-1]))
-                nu[nz] = np.add.reduceat(unseen_c, starts)
-                hs[nz] = np.add.reduceat(freq_c, starts)
-                # reduceat returns a[i] (not 0) for empty segments — a
-                # single-token doc has no pairs of its own; force zero
-                one = nbi == 0
-                nu[one] = 0
-                hs[one] = 0
             elif not vb.size:
                 nu = nbi.copy()  # empty model: every bigram is unseen
             yield pd.DataFrame(
@@ -1024,7 +1051,8 @@ def vocab_coverage(
     documented trade as bm25_topk's one-shot); a caller batching many
     curves should persist ``freqs``' slim (token, freq) projection.
     """
-    cuts = sorted(int(c) for c in cutoffs)
+    cuts = sorted({int(c) for c in cutoffs})  # dedup: repeated cutoffs
+    # would alias two identical _c{c} agg columns -> AMBIGUOUS_REFERENCE
     if not cuts or cuts[0] <= 0:
         raise ValueError("cutoffs must be positive")
     from pyspark.sql import Window

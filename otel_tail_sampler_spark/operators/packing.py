@@ -399,6 +399,78 @@ def pack_documents_greedy(
     )
 
 
+def _subrange_rank(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    seed: str,
+    sub_prefix_len: int,
+    group_sort_key,
+    reset_per_group: bool,
+):
+    """Shared exact-rank machinery of ``form_batches`` and
+    ``curriculum_order``: md5(id|seed) rank key, subdivided by its own
+    ``sub_prefix_len``-char hex prefix. Because the prefix refines the
+    (integer) ``group_col`` value, concatenating (group, prefix) chunks
+    in driver-sorted order IS the order-by-(group, hash, id) total
+    order, so per-chunk local ranks + driver-prefix-summed offsets
+    reconstruct the exact rank with no single-task window and no
+    corpus-wide sort; a degenerate group still spreads over
+    16^``sub_prefix_len`` subranges. Offsets ride a broadcast-joined
+    TABLE (plan size independent of group count — the k-literal
+    lesson). ``reset_per_group`` restarts the offset at each group
+    (within-group rank) vs. accumulating globally (global rank).
+
+    -> (df + ``_pos`` long, total row count). Driver-side work is one
+    row per (group value, prefix): the group column must be an INTEGER
+    of bounded distinct cardinality and NULL-free (raises — a NULL
+    would silently sort nowhere). Determinism precondition (as
+    pack_sequences): the counts pass and the rank pass must see the
+    same input.
+    """
+    spark = df.sparkSession
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    base = df.withColumn("_h", h).withColumn(
+        "_sub", F.substring("_h", 1, int(sub_prefix_len))
+    )
+    counts = (
+        base.groupBy(group_col, "_sub")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if any(r[group_col] is None for r in counts):
+        raise ValueError(
+            f"_subrange_rank: NULL values in {group_col!r} — rank them "
+            "explicitly (filter or sentinel) before ranking"
+        )
+    key = lambda r: (group_sort_key(r[group_col]), r["_sub"])  # noqa: E731
+    rows, acc, per_group = [], 0, {}
+    for r in sorted(counts, key=key):
+        g = int(r[group_col])
+        off = per_group.get(g, 0) if reset_per_group else acc
+        rows.append((g, r["_sub"], off))
+        n = int(r["_n"])
+        per_group[g] = off + n
+        acc += n
+    schema = "_g long, _sub string, _off long"
+    offsets = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    w = Window.partitionBy(group_col, "_sub").orderBy("_h", id_col)
+    pos = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+    ranked = (
+        base.withColumn("_g", F.col(group_col).cast("long"))
+        .join(F.broadcast(offsets), ["_g", "_sub"])
+        .withColumn("_pos", pos)
+        .drop("_h", "_sub", "_off", "_g")
+    )
+    return ranked, acc
+
+
 def form_batches(
     df: DataFrame,
     batch_size: int = 32,
@@ -421,27 +493,14 @@ def form_batches(
     like ``assign_shards``' within-shard order; the final (possibly
     short) batch per bucket holds the rank tail.
 
-    Partition-count independence (the oracle property): the rank is a
-    pure function of the data — the md5 hex key, subdivided by its own
-    ``sub_prefix_len``-char prefix. Because the subrange key is a PREFIX
-    of the sort key, concatenating subranges in key order IS the global
-    bucket order, so per-(bucket, subrange) local ranks + driver-prefix-
-    summed subrange offsets reconstruct the exact global rank without a
-    single-task-per-bucket window (the skew trap a plain
-    ``Window.partitionBy(bucket)`` ships at corpus scale — 16^2 = 256
-    subranges per bucket by default, 16^3 with ``sub_prefix_len=3``; md5
-    uniformity keeps subranges balanced within a bucket regardless of
-    the length distribution). The offsets ride a broadcast-joined TABLE,
-    not plan literals, so plan size is independent of bucket count.
-
-    Scale shape: one count aggregation (output bounded by buckets x
-    subranges, map-side combinable), one broadcast join, one window
-    whose partitions are corpus/(buckets*256) — no corpus-sized sort or
-    single hot task. Determinism precondition (as pack_sequences): the
-    counts pass and the rank pass are two jobs over ``df``; the input
-    must be identical across them.
+    Partition-count independence + scale shape: the within-bucket rank
+    is ``_subrange_rank`` with per-group offset reset — see its
+    docstring for the prefix-property correctness argument, the
+    no-single-task-window guarantee, and the determinism precondition.
     """
-    spark = df.sparkSession
+    if int(batch_size) <= 0:
+        # div/pmod by 0 would emit NULL batch ids silently, not error
+        raise ValueError("batch_size must be positive")
     edges = [int(e) for e in bucket_edges]
     if edges != sorted(edges) or len(set(edges)) != len(edges):
         raise ValueError("bucket_edges must be strictly increasing")
@@ -451,38 +510,25 @@ def form_batches(
     bexpr = F.lit(0)
     for e in edges:
         bexpr = bexpr + F.when(F.col(len_col) > e, 1).otherwise(0)
-    h = F.md5(
-        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    base = df.withColumn("bucket", bexpr.cast("int"))
+    ranked, _ = _subrange_rank(
+        base,
+        "bucket",
+        id_col,
+        seed,
+        sub_prefix_len,
+        group_sort_key=lambda g: g,
+        reset_per_group=True,
     )
-    base = df.withColumn("bucket", bexpr.cast("int")).withColumn(
-        "_h", h
-    ).withColumn("_sub", F.substring("_h", 1, int(sub_prefix_len)))
-    counts = (
-        base.groupBy("bucket", "_sub")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
-    rows, acc = [], {}
-    for r in sorted(counts, key=lambda r: (r["bucket"], r["_sub"])):
-        off = acc.get(r["bucket"], 0)
-        rows.append((r["bucket"], r["_sub"], off))
-        acc[r["bucket"]] = off + int(r["_n"])
-    offsets = spark.createDataFrame(
-        rows, "bucket int, _sub string, _off long"
-    ) if rows else spark.createDataFrame([], "bucket int, _sub string, _off long")
-    w = Window.partitionBy("bucket", "_sub").orderBy("_h", id_col)
-    pos = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
     return (
-        base.join(F.broadcast(offsets), ["bucket", "_sub"])
-        .withColumn("_pos", pos)
-        .withColumn(
+        ranked.withColumn(
             "batch_seq",
             F.expr(f"_pos div {int(batch_size)}").cast("long"),
         )
         .withColumn(
             "pos_in_batch", F.pmod(F.col("_pos"), F.lit(batch_size)).cast("int")
         )
-        .drop("_h", "_sub", "_off", "_pos")
+        .drop("_pos")
     )
 
 
@@ -529,66 +575,35 @@ def curriculum_order(
     deterministic shuffled order rather than source order.
 
     Contract: the metric must be an INTEGER of bounded distinct
-    cardinality (token lengths, fixed-point scores, count signals — the
-    module family's exact-integer metrics all qualify): the offsets pass
-    collects one row per (metric value, md5 prefix) to the driver, i.e.
-    distinct-metrics x 16^``sub_prefix_len``. Quantize a high-
-    cardinality metric upstream (integer shift/div) before ranking on
-    it.
+    cardinality, NULL-free (token lengths, fixed-point scores, count
+    signals — the module family's exact-integer metrics all qualify):
+    the offsets pass collects one row per (metric value, md5 prefix) to
+    the driver, i.e. distinct-metrics x 16^``sub_prefix_len``. Quantize
+    a high-cardinality metric upstream (integer shift/div) before
+    ranking on it.
 
-    Scale shape (the form_batches subrange scheme, globalized): because
-    the hash prefix refines a FIXED metric value, (metric, prefix)
-    groups concatenated in driver-sorted order are exactly the global
-    sort order, so per-group local ranks + prefix-summed offsets
-    reconstruct the exact global rank with no corpus-wide sort and no
-    single-task window — a degenerate metric (every doc the same value)
-    still spreads over 16^``sub_prefix_len`` subranges. Offsets ride a
-    broadcast-joined table; one corpus exchange on (metric, subrange).
-    Determinism precondition: counts pass and rank pass must see the
-    same input (as pack_sequences).
+    Scale shape: ``_subrange_rank`` WITHOUT per-group reset — the
+    global rank; see its docstring for the prefix-property correctness
+    argument, the degenerate-metric spread, and the determinism
+    precondition.
     """
-    spark = df.sparkSession
     if n_phases <= 0:
         raise ValueError("n_phases must be positive")
-    h = F.md5(
-        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    ranked, total = _subrange_rank(
+        df,
+        metric_col,
+        id_col,
+        seed,
+        sub_prefix_len,
+        group_sort_key=(lambda g: -g) if descending else (lambda g: g),
+        reset_per_group=False,
     )
-    base = df.withColumn("_h", h).withColumn(
-        "_sub", F.substring("_h", 1, int(sub_prefix_len))
-    )
-    counts = (
-        base.groupBy(metric_col, "_sub")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
-    key = lambda r: (  # noqa: E731
-        (-r[metric_col] if descending else r[metric_col]),
-        r["_sub"],
-    )
-    rows, acc = [], 0
-    for r in sorted(counts, key=key):
-        rows.append((r[metric_col], r["_sub"], acc))
-        acc += int(r["_n"])
-    total = acc
-    schema = f"{metric_col} long, _sub string, _off long"
-    offsets = spark.createDataFrame(
-        [(int(m), s, o) for m, s, o in rows], schema
-    ) if rows else spark.createDataFrame([], schema)
-    w = Window.partitionBy(metric_col, "_sub").orderBy("_h", id_col)
-    joined = base.withColumn(
-        "_m", F.col(metric_col).cast("long")
-    ).join(
-        F.broadcast(offsets.withColumnRenamed(metric_col, "_m")),
-        ["_m", "_sub"],
-    )
-    rank = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
     return (
-        joined.withColumn("rank", rank)
+        ranked.withColumnRenamed("_pos", "rank")
         .withColumn(
             "phase",
             F.expr(f"rank * {int(n_phases)} div {max(total, 1)}").cast(
                 "int"
             ),
         )
-        .drop("_h", "_sub", "_off", "_m")
     )

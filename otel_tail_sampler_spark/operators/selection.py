@@ -138,13 +138,15 @@ def dsir_score(
     Determinism precondition (shared with ``score_bigram_novelty``):
     the model is materialized once (collect/broadcast) and scoring runs
     in a later job; the model input must not mutate in between."""
-    totals = model.agg(
-        F.sum("t_freq").alias("t"), F.sum("r_freq").alias("r")
-    ).first()
-    t_total, r_total = int(totals["t"] or 0), int(totals["r"] or 0)
     s = 1 << scale_bits
 
     if kernel == "jvm":
+        # jvm keeps the model as a broadcast-joined DataFrame, so the
+        # totals need their own (model-lineage) aggregation job
+        totals = model.agg(
+            F.sum("t_freq").alias("t"), F.sum("r_freq").alias("r")
+        ).first()
+        t_total, r_total = int(totals["t"] or 0), int(totals["r"] or 0)
         ex = df.select(
             F.col(id_col),
             F.explode(_adjacent_bigrams(tok_col)).alias("_pk"),
@@ -183,17 +185,27 @@ def dsir_score(
         import numpy as np
         import pandas as pd
 
+        # ONE model materialization: the totals are sums of the collected
+        # arrays — a second model.agg job would re-run the un-persisted
+        # model lineage (a full corpus pass for the standard builders)
         tf, rf = _model_arrays(model, n_buckets)
+        t_total, r_total = int(tf.sum()), int(rf.sum())
         b = df.sparkSession.sparkContext.broadcast((tf, rf))
 
         def fn(
             batches: "Iterator[pd.DataFrame]",
         ) -> "Iterator[pd.DataFrame]":
-            # the score_bigram_novelty batch kernel with a dense gather in
-            # place of searchsorted: buckets are 0..B-1 by construction.
+            # the score_bigram_novelty batch kernel with a dense gather
+            # in place of searchsorted (buckets are 0..B-1 by
+            # construction); flat-stream segmentation shared via
+            # _batch_bigram_pairs/_segment_sums.
+            from otel_tail_sampler_spark.operators.corpus import (
+                _batch_bigram_pairs,
+                _segment_sums,
+            )
+
             vtf, vrf = b.value
             nb = np.int64(len(vtf))
-            K = np.int64(4294967296)
             for pdf in batches:
                 n = len(pdf)
                 if not n:
@@ -203,28 +215,13 @@ def dsir_score(
                 nfe = np.maximum(lens - 1, 0)
                 tm = np.zeros(n, np.int64)
                 rm = np.zeros(n, np.int64)
-                nz = lens > 0
                 if int(lens.sum()) >= 2:
-                    flat = np.concatenate([a for a in arrs if a.size])
-                    pairs = flat[:-1] * K + (
-                        flat[1:] & np.int64(4294967295)
+                    pairs, cross, starts, nz = _batch_bigram_pairs(
+                        arrs, lens
                     )
                     bk = pairs % nb  # numpy %: sign of divisor, == pmod
-                    cum = np.cumsum(lens[nz])
-                    cross = np.zeros(pairs.size, bool)
-                    cross[cum[:-1] - 1] = True
-                    t_c = np.append(
-                        np.where(cross, np.int64(0), vtf[bk] + 1), 0
-                    )
-                    r_c = np.append(
-                        np.where(cross, np.int64(0), vrf[bk] + 1), 0
-                    )
-                    starts = np.concatenate(([0], cum[:-1]))
-                    tm[nz] = np.add.reduceat(t_c, starts)
-                    rm[nz] = np.add.reduceat(r_c, starts)
-                    one = nfe == 0  # reduceat quirk on empty segments
-                    tm[one] = 0
-                    rm[one] = 0
+                    tm = _segment_sums(vtf[bk] + 1, cross, starts, nfe, nz)
+                    rm = _segment_sums(vrf[bk] + 1, cross, starts, nfe, nz)
                 out = {id_col: pdf[id_col]}
                 for c in keep_cols:
                     out[c] = pdf[c]
@@ -324,11 +321,16 @@ def dsir_sample(
 
     Exact-integer acceptance: keep iff
     ``hash32 * S * 2^20 < ratio_fp * round(rate * 2^20) * 2^32``
-    with ``hash32 = int(md5(id|seed)[:8], 16)`` — all products ride
-    DECIMAL(38,0) (max ~2^72), both engines compare identically, and
-    the min(1, .) clamp falls out of the inequality (an oversized right
-    side accepts every hash). Keep sets are NESTED in ``rate``: raising
-    the rate only adds documents.
+    with ``hash32 = int(md5(id|seed)[:8], 16)``. The min(1, .) clamp is
+    made EXPLICIT as a short-circuit disjunct — ``ratio_fp >=
+    ceil(S * 2^20 / r_fp)`` keeps the row outright — because it also
+    bounds the product comparison: the right side only evaluates below
+    the threshold, so both sides stay under ``S * 2^52`` and the
+    DECIMAL(38,0) arithmetic can never overflow to NULL (a NULL filter
+    would silently DROP exactly the most target-like documents at high
+    rates — the inverse of the intent; a planted saturation test pins
+    this). Both engines compare identically; keep sets are NESTED in
+    ``rate``: raising the rate only adds documents.
 
     -> the surviving rows of ``dsir_score``'s output (same columns).
     Scale shape: identical to dsir_score (shuffle-free broadcast
@@ -359,15 +361,21 @@ def dsir_sample(
         16,
         10,
     ).cast("long")
+    cond = F.expr(
+        f"CAST(_h32 AS DECIMAL(38,0)) * {s * (1 << 20)}"
+        f" < CAST(ratio_fp AS DECIMAL(38,0))"
+        f"   * {r_fp * 4294967296}"
+    )
+    if r_fp > 0:
+        # the saturation threshold: p >= 1 keeps unconditionally, and
+        # gating the product comparison below it bounds both DECIMAL
+        # operands (see docstring) — `true OR null` is true, so even a
+        # pathological overflow in the unevaluated branch cannot drop
+        thr = -(-(s * (1 << 20)) // r_fp)  # ceil
+        cond = (F.col("ratio_fp") >= F.lit(thr)) | cond
     return (
         scored.withColumn("_h32", h32)
-        .filter(
-            F.expr(
-                f"CAST(_h32 AS DECIMAL(38,0)) * {s * (1 << 20)}"
-                f" < CAST(ratio_fp AS DECIMAL(38,0))"
-                f"   * {r_fp * 4294967296}"
-            )
-        )
+        .filter(cond)
         .drop("_h32")
     )
 
