@@ -1538,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "dsir_sample": q_dsir_sample,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -2073,6 +2074,21 @@ def q_tokenizer_fertility(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Shard finalization metadata over the full prep chain (tokenize ->
+    pack -> shard): per-shard example/token counts + the shard_pos-order
+    content digest a loader verifies before trusting a shard file."""
+    from otel_tail_sampler_spark.operators.packing import (
+        pack_sequences,
+        shard_manifest,
+    )
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    packed = pack_sequences(toks, max_len=256, id_col="doc_id")
+    return shard_manifest(packed, n_shards=8, id_col="example_id")
 
 
 def q_dsir_sample(spark, sf_dir):
@@ -4092,6 +4108,19 @@ def oracle_sql() -> dict[str, str]:
                ((1048576::HUGEINT * sum(nc))
                  // greatest(sum(bp), 1))::BIGINT AS chars_per_bpe_fp
         FROM c GROUP BY 1
+    """
+
+    # Shard manifest: the attested corpus_to_shards chain as a subquery,
+    # rolled up to the per-shard loader-integrity record (counts + the
+    # shard_pos-order digest-of-digests).
+    o["shard_manifest"] = f"""
+        SELECT shard::INT AS shard,
+               count(*)::BIGINT AS n_examples,
+               sum(n_tok)::BIGINT AS n_tokens,
+               md5(string_agg(tokens_md5, '' ORDER BY shard_pos))
+                 AS content_md5
+        FROM ({o["corpus_to_shards"]})
+        GROUP BY 1
     """
 
     # Curriculum ordering: DuckDB's own global window vs Spark's

@@ -257,6 +257,7 @@ def write_shards(
     n_shards: int,
     id_col: str = "example_id",
     seed: str = "shards",
+    manifest: bool = False,
 ) -> None:
     """Materialize the training shards: assign_shards' deterministic
     (shard, shard_pos) layout written as one parquet file per shard
@@ -268,6 +269,12 @@ def write_shards(
     writes exactly one in-order file into its `shard=k/` directory. A
     reader streaming that file sees the decorrelated within-shard order a
     training run wants, with no shuffle buffer of its own.
+
+    ``manifest=True`` also writes ``shard_manifest``'s integrity record
+    to ``{path}_manifest`` (a sibling, so the partitioned shard dir
+    stays pure) — per-shard counts + the shard_pos-order content
+    digest; a loader (or a later audit, see the round-trip test)
+    recomputes it from the written files and must match byte-for-byte.
     """
     (
         assign_shards(examples, n_shards, id_col=id_col, seed=seed)
@@ -277,6 +284,10 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    if manifest:
+        shard_manifest(
+            examples, n_shards, id_col=id_col, seed=seed
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}_manifest")
 
 
 def add_special_tokens(
@@ -606,4 +617,60 @@ def curriculum_order(
                 "int"
             ),
         )
+    )
+
+
+def shard_manifest(
+    examples: DataFrame,
+    n_shards: int,
+    id_col: str = "example_id",
+    tok_col: str = "tokens",
+    seed: str = "shards",
+) -> DataFrame:
+    """Shard finalization metadata over ``assign_shards``' layout:
+    -> (shard int, n_examples bigint, n_tokens bigint, content_md5
+    string) where ``content_md5`` is the md5 of the shard's per-example
+    token digests concatenated in ``shard_pos`` order — the integrity
+    record a training loader checks before trusting a shard file
+    (truncated write, re-shard drift, or a single flipped token all
+    change it). Pure function of the data: recomputing the manifest
+    after any rewrite must reproduce it byte-for-byte.
+
+    Scale shape: one map-side hash per example (the md5 of the token
+    CSV — tokens themselves never ride the aggregation), then a per-
+    shard sort of DIGEST STRUCTS only (32-byte rows, ~|examples|/
+    n_shards per group — the same per-shard order the writer already
+    materializes); the aggregate output is one row per shard.
+    ``write_shards`` composes this as its manifest sidecar.
+    """
+    assigned = assign_shards(
+        examples, n_shards, id_col=id_col, seed=seed
+    ).select(
+        "shard",
+        "shard_pos",
+        F.size(F.col(tok_col)).cast("long").alias("_nt"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col(tok_col), lambda x: x.cast("string"))
+            )
+        ).alias("_d"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shard_pos", "_d"))
+                        ),
+                        lambda s: s.getField("_d"),
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("shard")
     )

@@ -480,3 +480,61 @@ def test_curriculum_order_partition_count_independent(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_roundtrip_from_written_files(spark, tmp_path):
+    """The integrity contract: a manifest recomputed from the WRITTEN
+    shard files (digests concatenated in shard_pos order) must match the
+    written manifest byte-for-byte; any token flip breaks it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.packing import (
+        shard_manifest,
+        write_shards,
+    )
+
+    rows = [(i, [int(x) for x in range(i % 7 + 1)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "example_id long, tokens array<int>")
+    out = str(tmp_path / "shards")
+    write_shards(df, out, n_shards=4, manifest=True)
+
+    want = {
+        r["shard"]: (r["n_examples"], r["n_tokens"], r["content_md5"])
+        for r in spark.read.parquet(out + "_manifest").collect()
+    }
+    assert set(want) == set(range(4))
+
+    # recompute from written files, pandas-side (independent path)
+    got = {}
+    pdf = (
+        spark.read.parquet(out)
+        .select("shard", "shard_pos", "tokens")
+        .toPandas()
+    )
+    for shard, grp in pdf.groupby("shard"):
+        grp = grp.sort_values("shard_pos")
+        digests = [
+            hashlib.md5(
+                ",".join(str(int(x)) for x in t).encode()
+            ).hexdigest()
+            for t in grp["tokens"]
+        ]
+        got[int(shard)] = (
+            len(grp),
+            int(sum(len(t) for t in grp["tokens"])),
+            hashlib.md5("".join(digests).encode()).hexdigest(),
+        )
+    assert got == want
+
+    # sanity: totals conserve the corpus
+    assert sum(w[0] for w in want.values()) == 60
+    assert sum(w[1] for w in want.values()) == sum(
+        len(t) for _, t in rows
+    )
