@@ -1539,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "tokenizer_fertility": q_tokenizer_fertility,
         "shard_manifest": q_shard_manifest,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2074,6 +2075,20 @@ def q_tokenizer_fertility(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_token_budget(spark, sf_dir):
+    """Exact per-source token-budget enforcement (the water-filling
+    solver's apply side): each source keeps its md5-order document
+    prefix up to 100k tokens — monotone in the budget, engine-exact."""
+    from otel_tail_sampler_spark.operators.packing import (
+        enforce_token_budget,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return enforce_token_budget(tok, 100_000).select(
+        "doc_id", "source", "n_tok", "cum_tokens"
+    )
 
 
 def q_shard_manifest(spark, sf_dir):
@@ -4108,6 +4123,25 @@ def oracle_sql() -> dict[str, str]:
                ((1048576::HUGEINT * sum(nc))
                  // greatest(sum(bp), 1))::BIGINT AS chars_per_bpe_fp
         FROM c GROUP BY 1
+    """
+
+    # Token-budget enforcement: DuckDB's own per-source running-sum
+    # window vs Spark's two-phase subrange reconstruction — only the md5
+    # order key is shared (hash recipe rule).
+    o["token_budget"] = f"""
+        WITH tok AS (
+          SELECT doc_id, source, n_tok
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id || '|' || 'budget'), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+        SELECT doc_id, source, n_tok::INT AS n_tok,
+               cum::BIGINT AS cum_tokens
+        FROM c WHERE cum <= 100000
     """
 
     # Shard manifest: the attested corpus_to_shards chain as a subquery,

@@ -674,3 +674,97 @@ def shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def enforce_token_budget(
+    df: DataFrame,
+    budget,
+    by: str = "source",
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: str = "budget",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Exact per-group token-budget enforcement — the APPLY side of the
+    ``rates_for_budget`` water-filling solver: keep each group's
+    documents in deterministic md5(id|seed) order until the cumulative
+    token count would exceed the group's budget. -> the surviving rows
+    plus ``cum_tokens`` (the group's running total INCLUDING the row).
+    ``budget`` is an int (every group) or a dict group->int (a group
+    absent from the dict keeps nothing — spell every source you want).
+
+    Semantics: the kept set is the maximal HASH-ORDER PREFIX whose
+    running sum fits — a long document past the cut is not skipped in
+    favor of later short ones (that greedy-skip is a per-group
+    recurrence, the pack_documents_greedy territory); the under-fill is
+    at most one document's tokens per group, and the prefix rule is
+    what makes the operator a pure SQL window — exact, engine-
+    reproducible, and monotone in the budget (raising it only adds
+    documents).
+
+    Scale shape (the ``_subrange_rank`` scheme with VALUE sums): per
+    (group, md5-prefix subrange) token totals -> driver prefix sums ->
+    broadcast offsets table; each subrange then needs only its LOCAL
+    running sum (one window over corpus/(groups*16^prefix_len) rows —
+    no group-wide single-task window, even for one giant source).
+    Group cardinality bounds the driver work (groups x 256 rows) —
+    sources/domains, not documents. Determinism precondition as
+    pack_sequences: both passes must see the same input.
+    """
+    spark = df.sparkSession
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    base = df.withColumn("_h", h).withColumn(
+        "_sub", F.substring("_h", 1, int(sub_prefix_len))
+    )
+    sums = (
+        base.groupBy(by, "_sub")
+        .agg(F.sum(len_col).alias("_n"))
+        .collect()
+    )
+    if any(r[by] is None for r in sums):
+        raise ValueError(
+            f"enforce_token_budget: NULL values in {by!r} — filter or "
+            "sentinel them before budgeting"
+        )
+    rows, per_group = [], {}
+    for r in sorted(sums, key=lambda r: (r[by], r["_sub"])):
+        g = r[by]
+        off = per_group.get(g, 0)
+        rows.append((g, r["_sub"], off))
+        per_group[g] = off + int(r["_n"] or 0)
+    schema = f"{by} string, _sub string, _off long"
+    offsets = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    if isinstance(budget, dict):
+        brows = [(str(g), int(b)) for g, b in budget.items()]
+        bdf = (
+            spark.createDataFrame(brows, f"{by} string, _budget long")
+            if brows
+            else spark.createDataFrame([], f"{by} string, _budget long")
+        )
+        withb = base.join(F.broadcast(bdf), by, "left").withColumn(
+            "_budget", F.coalesce("_budget", F.lit(0))
+        )
+    else:
+        withb = base.withColumn(
+            "_budget", F.lit(int(budget)).cast("long")
+        )
+    w = (
+        Window.partitionBy(by, "_sub")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        F.col("_off") + F.sum(F.col(len_col).cast("long")).over(w)
+    ).cast("long")
+    return (
+        withb.join(F.broadcast(offsets), [by, "_sub"])
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_h", "_sub", "_off", "_budget")
+    )

@@ -538,3 +538,86 @@ def test_shard_manifest_roundtrip_from_written_files(spark, tmp_path):
     assert sum(w[1] for w in want.values()) == sum(
         len(t) for _, t in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# enforce_token_budget
+# ---------------------------------------------------------------------------
+
+
+def _budget_ref(rows, budget, seed="budget"):
+    import hashlib
+
+    def h(did):
+        return hashlib.md5(f"{did}|{seed}".encode()).hexdigest()
+
+    out = {}
+    bysrc = {}
+    for did, src, n in rows:
+        bysrc.setdefault(src, []).append((did, n))
+    for src, docs in bysrc.items():
+        docs.sort(key=lambda d: (h(d[0]), d[0]))
+        cum = 0
+        b = budget[src] if isinstance(budget, dict) else budget
+        for did, n in docs:
+            cum += n
+            if cum <= b:
+                out[did] = cum
+    return out
+
+
+def test_token_budget_matches_scalar_reference_and_nests(spark):
+    from otel_tail_sampler_spark.operators.packing import (
+        enforce_token_budget,
+    )
+
+    rows = [
+        (f"d{i:03d}", f"s{i % 3}", (i * 11) % 60 + 5) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    prev = set()
+    for budget in (0, 200, 700, 10**9):
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in enforce_token_budget(df, budget).collect()
+        }
+        assert got == _budget_ref(rows, budget), budget
+        assert prev <= set(got)  # monotone in the budget
+        prev = set(got)
+    assert len(prev) == 150  # huge budget keeps everything
+
+
+def test_token_budget_per_group_dict_and_missing_group(spark):
+    from otel_tail_sampler_spark.operators.packing import (
+        enforce_token_budget,
+    )
+
+    rows = [("a", "x", 10), ("b", "x", 10), ("c", "y", 10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    budget = {"x": 15}  # y absent -> keeps nothing
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in enforce_token_budget(df, budget).collect()
+    }
+    assert got == _budget_ref(rows, {"x": 15, "y": 0})
+    assert len(got) == 1 and list(got.values()) == [10]
+
+
+def test_token_budget_partition_count_independent(spark):
+    from otel_tail_sampler_spark.operators.packing import (
+        enforce_token_budget,
+    )
+
+    rows = [(f"p{i}", f"s{i % 2}", i % 20 + 1) for i in range(80)]
+    outs = []
+    for nparts in (1, 6):
+        df = spark.createDataFrame(
+            rows, "doc_id string, source string, n_tok int"
+        ).repartition(nparts)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["cum_tokens"])
+                for r in enforce_token_budget(df, 150).collect()
+            )
+        )
+    assert outs[0] == outs[1]
