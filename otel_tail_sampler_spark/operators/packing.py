@@ -258,6 +258,7 @@ def write_shards(
     id_col: str = "example_id",
     seed: str = "shards",
     manifest: bool = False,
+    tok_col: str = "tokens",
 ) -> None:
     """Materialize the training shards: assign_shards' deterministic
     (shard, shard_pos) layout written as one parquet file per shard
@@ -270,11 +271,15 @@ def write_shards(
     reader streaming that file sees the decorrelated within-shard order a
     training run wants, with no shuffle buffer of its own.
 
-    ``manifest=True`` also writes ``shard_manifest``'s integrity record
-    to ``{path}_manifest`` (a sibling, so the partitioned shard dir
-    stays pure) — per-shard counts + the shard_pos-order content
-    digest; a loader (or a later audit, see the round-trip test)
-    recomputes it from the written files and must match byte-for-byte.
+    ``manifest=True`` also writes the per-shard integrity record to
+    ``{path}_manifest`` (a sibling, so the partitioned shard dir stays
+    pure) — computed by READING BACK the just-written files, not by
+    re-running the examples lineage: it digests the actual written
+    bytes (the quantity a loader will verify), costs one scan of the
+    output instead of a second full prep-chain pass, and cannot drift
+    from the files the way an unpersisted-lineage recomputation could
+    (the pack_sequences two-job caveat). ``tok_col`` names the token
+    column the digest covers.
     """
     (
         assign_shards(examples, n_shards, id_col=id_col, seed=seed)
@@ -285,9 +290,10 @@ def write_shards(
         .parquet(path)
     )
     if manifest:
-        shard_manifest(
-            examples, n_shards, id_col=id_col, seed=seed
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}_manifest")
+        written = examples.sparkSession.read.parquet(path)
+        _manifest_agg(written, tok_col).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}_manifest")
 
 
 def add_special_tokens(
@@ -418,26 +424,32 @@ def _subrange_rank(
     sub_prefix_len: int,
     group_sort_key,
     reset_per_group: bool,
+    value_col: str | None = None,
 ):
-    """Shared exact-rank machinery of ``form_batches`` and
-    ``curriculum_order``: md5(id|seed) rank key, subdivided by its own
-    ``sub_prefix_len``-char hex prefix. Because the prefix refines the
-    (integer) ``group_col`` value, concatenating (group, prefix) chunks
-    in driver-sorted order IS the order-by-(group, hash, id) total
-    order, so per-chunk local ranks + driver-prefix-summed offsets
-    reconstruct the exact rank with no single-task window and no
-    corpus-wide sort; a degenerate group still spreads over
-    16^``sub_prefix_len`` subranges. Offsets ride a broadcast-joined
-    TABLE (plan size independent of group count — the k-literal
-    lesson). ``reset_per_group`` restarts the offset at each group
-    (within-group rank) vs. accumulating globally (global rank).
+    """Shared exact-rank/running-sum machinery of ``form_batches``,
+    ``curriculum_order``, and ``enforce_token_budget``: md5(id|seed)
+    rank key, subdivided by its own ``sub_prefix_len``-char hex prefix.
+    Because the prefix refines the ``group_col`` value, concatenating
+    (group, prefix) chunks in driver-sorted order IS the
+    order-by-(group, hash, id) total order, so per-chunk local
+    ranks/sums + driver-prefix-summed offsets reconstruct the exact
+    global quantity with no single-task window and no corpus-wide sort;
+    a degenerate group still spreads over 16^``sub_prefix_len``
+    subranges. Offsets ride a broadcast-joined TABLE (plan size
+    independent of group count — the k-literal lesson).
+    ``reset_per_group`` restarts the offset at each group (within-group
+    quantity) vs. accumulating globally. ``value_col=None`` ranks rows
+    (``_pos`` = 0-based rank); a column name sums it (``_pos`` = the
+    running total INCLUDING the row).
 
-    -> (df + ``_pos`` long, total row count). Driver-side work is one
-    row per (group value, prefix): the group column must be an INTEGER
-    of bounded distinct cardinality and NULL-free (raises — a NULL
-    would silently sort nowhere). Determinism precondition (as
-    pack_sequences): the counts pass and the rank pass must see the
-    same input.
+    -> (df + ``_pos`` long, grand total). Driver-side work is one row
+    per (group value, prefix): the group column must be an orderable
+    primitive of bounded distinct cardinality (its type is taken from
+    the schema) and NULL-free (raises — a NULL would silently sort
+    nowhere). Determinism precondition (as pack_sequences): the offsets
+    pass and the rank pass must see the same input; a (group, prefix)
+    chunk unseen by the offsets pass fails fast (raise_error) instead
+    of silently dropping rows.
     """
     spark = df.sparkSession
     h = F.md5(
@@ -446,9 +458,12 @@ def _subrange_rank(
     base = df.withColumn("_h", h).withColumn(
         "_sub", F.substring("_h", 1, int(sub_prefix_len))
     )
+    agg_expr = (
+        F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    )
     counts = (
         base.groupBy(group_col, "_sub")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(agg_expr.alias("_n"))
         .collect()
     )
     if any(r[group_col] is None for r in counts):
@@ -459,25 +474,48 @@ def _subrange_rank(
     key = lambda r: (group_sort_key(r[group_col]), r["_sub"])  # noqa: E731
     rows, acc, per_group = [], 0, {}
     for r in sorted(counts, key=key):
-        g = int(r[group_col])
+        g = r[group_col]
         off = per_group.get(g, 0) if reset_per_group else acc
         rows.append((g, r["_sub"], off))
-        n = int(r["_n"])
+        n = int(r["_n"] or 0)
         per_group[g] = off + n
         acc += n
-    schema = "_g long, _sub string, _off long"
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {gtype}, _sub string, _off long"
     offsets = (
         spark.createDataFrame(rows, schema)
         if rows
         else spark.createDataFrame([], schema)
     )
     w = Window.partitionBy(group_col, "_sub").orderBy("_h", id_col)
-    pos = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+    if value_col is None:
+        local = F.row_number().over(w) - 1
+    else:
+        local = F.sum(F.col(value_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    # a chunk absent from the offsets pass == the input changed between
+    # the two jobs (pack_sequences' fail-fast contract, not a silent drop)
+    off = F.when(
+        F.col("_off").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("_subrange_rank: ("),
+                F.col(group_col).cast("string"),
+                F.lit(", "),
+                F.col("_sub"),
+                F.lit(
+                    ") absent from the offsets pass — the input changed "
+                    "between the two jobs (see the determinism "
+                    "precondition)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_off"))
     ranked = (
-        base.withColumn("_g", F.col(group_col).cast("long"))
-        .join(F.broadcast(offsets), ["_g", "_sub"])
-        .withColumn("_pos", pos)
-        .drop("_h", "_sub", "_off", "_g")
+        base.join(F.broadcast(offsets), [group_col, "_sub"], "left")
+        .withColumn("_pos", (off + local).cast("long"))
+        .drop("_h", "_sub", "_off")
     )
     return ranked, acc
 
@@ -610,7 +648,10 @@ def curriculum_order(
         reset_per_group=False,
     )
     return (
-        ranked.withColumnRenamed("_pos", "rank")
+        # withColumn (not a rename): REPLACES a pre-existing `rank`
+        # column instead of leaving an ambiguous duplicate behind
+        ranked.withColumn("rank", F.col("_pos"))
+        .drop("_pos")
         .withColumn(
             "phase",
             F.expr(f"rank * {int(n_phases)} div {max(total, 1)}").cast(
@@ -641,11 +682,21 @@ def shard_manifest(
     shard sort of DIGEST STRUCTS only (32-byte rows, ~|examples|/
     n_shards per group — the same per-shard order the writer already
     materializes); the aggregate output is one row per shard.
-    ``write_shards`` composes this as its manifest sidecar.
+    ``write_shards(manifest=True)`` writes the same aggregation over
+    the files it just wrote (read-back — the bytes a loader sees).
     """
-    assigned = assign_shards(
-        examples, n_shards, id_col=id_col, seed=seed
-    ).select(
+    return _manifest_agg(
+        assign_shards(examples, n_shards, id_col=id_col, seed=seed),
+        tok_col,
+    )
+
+
+def _manifest_agg(assigned: DataFrame, tok_col: str) -> DataFrame:
+    """The manifest aggregation over any (shard, shard_pos, tokens)
+    frame — shared by ``shard_manifest`` (over a fresh assignment) and
+    ``write_shards``'s read-back sidecar, so the digest recipe cannot
+    diverge between the two."""
+    slim = assigned.select(
         "shard",
         "shard_pos",
         F.size(F.col(tok_col)).cast("long").alias("_nt"),
@@ -656,7 +707,7 @@ def shard_manifest(
         ).alias("_d"),
     )
     return (
-        assigned.groupBy("shard")
+        slim.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_examples"),
             F.sum("_nt").cast("long").alias("n_tokens"),
@@ -702,69 +753,42 @@ def enforce_token_budget(
     reproducible, and monotone in the budget (raising it only adds
     documents).
 
-    Scale shape (the ``_subrange_rank`` scheme with VALUE sums): per
-    (group, md5-prefix subrange) token totals -> driver prefix sums ->
-    broadcast offsets table; each subrange then needs only its LOCAL
-    running sum (one window over corpus/(groups*16^prefix_len) rows —
-    no group-wide single-task window, even for one giant source).
-    Group cardinality bounds the driver work (groups x 256 rows) —
-    sources/domains, not documents. Determinism precondition as
-    pack_sequences: both passes must see the same input.
+    Scale shape: ``_subrange_rank`` in VALUE-SUM mode with per-group
+    reset — see its docstring for the prefix-property argument, the
+    no-single-task-window guarantee, the fail-fast two-job drift
+    contract, and the driver-work bound (group cardinality x 256 rows:
+    sources/domains, not documents). The group column's type is taken
+    from the schema, so integer domain ids work as well as strings.
     """
     spark = df.sparkSession
-    h = F.md5(
-        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    ranked, _ = _subrange_rank(
+        df,
+        by,
+        id_col,
+        seed,
+        sub_prefix_len,
+        group_sort_key=lambda g: g,
+        reset_per_group=True,
+        value_col=len_col,
     )
-    base = df.withColumn("_h", h).withColumn(
-        "_sub", F.substring("_h", 1, int(sub_prefix_len))
-    )
-    sums = (
-        base.groupBy(by, "_sub")
-        .agg(F.sum(len_col).alias("_n"))
-        .collect()
-    )
-    if any(r[by] is None for r in sums):
-        raise ValueError(
-            f"enforce_token_budget: NULL values in {by!r} — filter or "
-            "sentinel them before budgeting"
-        )
-    rows, per_group = [], {}
-    for r in sorted(sums, key=lambda r: (r[by], r["_sub"])):
-        g = r[by]
-        off = per_group.get(g, 0)
-        rows.append((g, r["_sub"], off))
-        per_group[g] = off + int(r["_n"] or 0)
-    schema = f"{by} string, _sub string, _off long"
-    offsets = (
-        spark.createDataFrame(rows, schema)
-        if rows
-        else spark.createDataFrame([], schema)
-    )
+    gtype = df.schema[by].dataType.simpleString()
     if isinstance(budget, dict):
-        brows = [(str(g), int(b)) for g, b in budget.items()]
+        brows = [(g, int(b)) for g, b in budget.items()]
+        bschema = f"{by} {gtype}, _budget long"
         bdf = (
-            spark.createDataFrame(brows, f"{by} string, _budget long")
+            spark.createDataFrame(brows, bschema)
             if brows
-            else spark.createDataFrame([], f"{by} string, _budget long")
+            else spark.createDataFrame([], bschema)
         )
-        withb = base.join(F.broadcast(bdf), by, "left").withColumn(
+        withb = ranked.join(F.broadcast(bdf), by, "left").withColumn(
             "_budget", F.coalesce("_budget", F.lit(0))
         )
     else:
-        withb = base.withColumn(
+        withb = ranked.withColumn(
             "_budget", F.lit(int(budget)).cast("long")
         )
-    w = (
-        Window.partitionBy(by, "_sub")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        F.col("_off") + F.sum(F.col(len_col).cast("long")).over(w)
-    ).cast("long")
     return (
-        withb.join(F.broadcast(offsets), [by, "_sub"])
-        .withColumn("cum_tokens", cum)
+        withb.withColumn("cum_tokens", F.col("_pos"))
         .filter(F.col("cum_tokens") <= F.col("_budget"))
-        .drop("_h", "_sub", "_off", "_budget")
+        .drop("_pos", "_budget")
     )
