@@ -187,3 +187,67 @@ def test_fim_reconstruction_property(spark, corpus, rate):
         i_suf, i_mid = toks.index(-103), toks.index(-102)
         p, s, m = toks[1:i_suf], toks[i_suf + 1 : i_mid], toks[i_mid + 1 :]
         assert p + m + s == o
+
+
+# ---------------------------------------------------------------------------
+# _subrange_rank (the shared exact-rank/running-sum machinery)
+# ---------------------------------------------------------------------------
+
+RANK_ROWS = st.lists(
+    st.tuples(
+        st.text(
+            alphabet="abcdefgh0123456789", min_size=1, max_size=8
+        ),
+        st.integers(min_value=0, max_value=5),   # group
+        st.integers(min_value=0, max_value=50),  # value
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(RANK_ROWS, st.booleans(), st.booleans())
+@settings(max_examples=10, deadline=None)
+def test_subrange_rank_matches_scalar_order(spark, rows, reset, use_value):
+    """Property: _subrange_rank's reconstructed _pos equals the scalar
+    rank / inclusive running sum over the (group[, global], md5, id)
+    total order, for every combination of reset and value mode."""
+    import hashlib
+
+    from otel_tail_sampler_spark.operators.packing import _subrange_rank
+
+    df = spark.createDataFrame(
+        rows, "doc_id string, grp int, val int"
+    )
+    got = {
+        r["doc_id"]: r["_pos"]
+        for r in _subrange_rank(
+            df,
+            "grp",
+            "doc_id",
+            "proptest",
+            1,
+            group_sort_key=lambda g: g,
+            reset_per_group=reset,
+            value_col="val" if use_value else None,
+        )[0].collect()
+    }
+
+    def h(did):
+        return hashlib.md5(f"{did}|proptest".encode()).hexdigest()
+
+    order = sorted(rows, key=lambda t: (t[1], h(t[0]), t[0]))
+    want, run = {}, {}
+    glob = 0
+    for did, g, v in order:
+        scope = g if reset else "all"
+        q = v if use_value else 1
+        base = run.get(scope, 0)
+        if use_value:
+            want[did] = base + q  # inclusive running sum
+        else:
+            want[did] = base  # 0-based rank
+        run[scope] = base + q
+        glob += q
+    assert got == want
