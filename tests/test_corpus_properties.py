@@ -251,3 +251,81 @@ def test_subrange_rank_matches_scalar_order(spark, rows, reset, use_value):
         run[scope] = base + q
         glob += q
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR kernels (arrow vs jvm) over arbitrary corpora
+# ---------------------------------------------------------------------------
+
+DSIR_CORPUS = st.lists(
+    st.tuples(
+        st.text(alphabet="xyz0123456789", min_size=1, max_size=6),
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(DSIR_CORPUS, st.integers(min_value=2, max_value=64))
+@settings(max_examples=8, deadline=None)
+def test_dsir_kernels_agree_on_arbitrary_corpora(spark, rows, n_buckets):
+    """Property: the arrow (numpy flat-stream) and jvm (explode+join)
+    DSIR scoring kernels agree on arbitrary corpora including full
+    int32-range tokens, and both match a scalar reference."""
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model,
+        dsir_score,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    target_ids = {d for d, _ in rows if d < "y"}
+    target = df.filter(
+        df.doc_id.isin(*target_ids) if target_ids else "false"
+    )
+    model = build_dsir_model(target, df, n_buckets=n_buckets)
+
+    def score(kernel):
+        return {
+            r["doc_id"]: (
+                r["n_feat"],
+                r["target_mass"],
+                r["raw_mass"],
+                r["ratio_fp"],
+            )
+            for r in dsir_score(
+                df, model, n_buckets=n_buckets, kernel=kernel
+            ).collect()
+        }
+
+    a = score("arrow")
+    assert a == score("jvm")
+
+    # scalar reference
+    tf, rf = {}, {}
+    for did, toks in rows:
+        for x, y in zip(toks, toks[1:]):
+            f = (x * 4294967296 + (y & 0xFFFFFFFF)) % n_buckets
+            rf[f] = rf.get(f, 0) + 1
+            if did in target_ids:
+                tf[f] = tf.get(f, 0) + 1
+    t_tot, r_tot = sum(tf.values()), sum(rf.values())
+    s = 1 << 20
+    for did, toks in rows:
+        feats = [
+            (x * 4294967296 + (y & 0xFFFFFFFF)) % n_buckets
+            for x, y in zip(toks, toks[1:])
+        ]
+        tm = sum(tf.get(f, 0) + 1 for f in feats)
+        rm = sum(rf.get(f, 0) + 1 for f in feats)
+        ratio = (
+            (s * tm * (r_tot + n_buckets)) // (rm * (t_tot + n_buckets))
+            if feats
+            else s
+        )
+        assert a[did] == (len(feats), tm, rm, ratio), did
