@@ -234,8 +234,39 @@ def main() -> None:
         q.awaitTermination()
         best = min(best, time.time() - t0)
         shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
     queries["streaming_prep"] = round(best, 3)
+
+    # streaming prep + DSIR importance gate (added r5): the offline-model
+    # online-apply shape — model built once outside the timed window (a
+    # standing artifact in deployment), each micro-batch scored + resampled
+    # before dedup; the delta vs streaming_prep is the gate's cost
+    from pyspark.sql import functions as SF
+
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model_partitioned,
+    )
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(
+        spark.read.parquet(src_dir), vocab_size=4096, keep_cols=("source",)
+    )
+    model = build_dsir_model_partitioned(
+        toks, SF.col("source") == "src0", n_buckets=1 << 16
+    )
+    model = spark.createDataFrame(model.collect(), model.schema)
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bench_prep_dsir_")
+        t0 = time.time()
+        q = run_prep_stream(
+            spark, src_dir, out_dir, vocab_size=4096,
+            dsir_model=model, dsir_rate=0.7,
+        )
+        q.awaitTermination()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    queries["streaming_prep_dsir"] = round(best, 3)
 
     # both assembly strategies, same bounded input: 'session_window' is the
     # Spark-native scale path (JVM incremental session agg); 'state' mirrors
