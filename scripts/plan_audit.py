@@ -472,6 +472,37 @@ def main() -> None:
         vocab_coverage(tokdf, cutoffs=(64, 256, 1024, 4096)),
     )
 
+    from otel_tail_sampler_spark.operators.packing import (
+        enforce_token_budget,
+        pack_sequences,
+        shard_manifest,
+    )
+
+    section(
+        "Per-source token-budget enforcement",
+        "What to check: the running sum windows ONLY over (source,\n"
+        "md5-prefix subrange) — never the bare source (a giant source\n"
+        "would funnel one task); offsets and budgets both arrive via\n"
+        "BroadcastHashJoin on tables; the filter is a codegen\n"
+        "comparison above the window.",
+        enforce_token_budget(tokdf, 100_000).select(
+            "doc_id", "source", "n_tok", "cum_tokens"
+        ),
+    )
+
+    section(
+        "Shard integrity manifest",
+        "What to check: the per-example digest is computed map-side\n"
+        "BEFORE the shard exchange (tokens never ride the aggregation\n"
+        "— the collect_list carries 32-byte digest structs only), and\n"
+        "the output is one row per shard.",
+        shard_manifest(
+            pack_sequences(tokdf, max_len=128),
+            n_shards=8,
+            id_col="example_id",
+        ),
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — captured physical plans of the flagship operators\n\n"
