@@ -1540,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "shard_manifest": q_shard_manifest,
         "token_budget": q_token_budget,
+        "pack_doc_spans": q_pack_doc_spans,
     }
 
 
@@ -2075,6 +2076,35 @@ def q_tokenizer_fertility(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_pack_doc_spans(spark, sf_dir):
+    """Packing with block-diagonal attention metadata: each 256-token
+    example carries its (offset, length) document-piece layout —
+    derived from the same sorted piece structs the tokens flatten from,
+    stringified for the driver's canonicalization."""
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+    from otel_tail_sampler_spark.operators.text import hash_tokenize
+
+    toks = hash_tokenize(_docs(spark, sf_dir), vocab_size=4096)
+    packed = pack_sequences(toks, max_len=256, emit_spans=True)
+    spans_str = F.concat_ws(
+        ";",
+        F.transform(
+            F.col("doc_spans"),
+            lambda s: F.concat_ws(
+                ":",
+                s.getField("offset").cast("string"),
+                s.getField("length").cast("string"),
+            ),
+        ),
+    )
+    return packed.select(
+        "example_id",
+        _tokens_md5().alias("tokens_md5"),
+        "n_tok",
+        spans_str.alias("spans_str"),
+    )
 
 
 def q_token_budget(spark, sf_dir):
@@ -4123,6 +4153,51 @@ def oracle_sql() -> dict[str, str]:
                ((1048576::HUGEINT * sum(nc))
                  // greatest(sum(bp), 1))::BIGINT AS chars_per_bpe_fp
         FROM c GROUP BY 1
+    """
+
+    # Packing with doc-span metadata: the corpus_to_shards pack chain
+    # (verbatim CTEs) with the span layout aggregated from the SAME cut
+    # rows DuckDB-side (string_agg in gs order) — the cross-engine check
+    # that the span metadata tiles exactly like the token layout.
+    o["pack_doc_spans"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN []::INTEGER[]
+                      ELSE [(('0x' || substring(md5(x), 1, 8))::BIGINT % 4096)::INT
+                            for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')] END AS tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT tokens, len(tokens) AS n,
+                 coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+          FROM tok
+        ),
+        pieces AS (
+          SELECT off, n, tokens,
+                 unnest(range(0, CASE WHEN n = 0 THEN 0
+                   ELSE (off + n - 1) // 256 - off // 256 + 1 END)) AS k
+          FROM o
+        ),
+        cut AS (
+          SELECT off // 256 + k AS example_id,
+                 greatest(off, (off // 256 + k) * 256) AS gs,
+                 tokens[greatest(off, (off // 256 + k) * 256) - off + 1
+                        : least(off + n, (off // 256 + k + 1) * 256) - off] AS sl
+          FROM pieces
+        ),
+        ex AS (
+          SELECT example_id,
+                 flatten(list(sl ORDER BY gs)) AS tokens,
+                 string_agg((gs - example_id * 256)::VARCHAR || ':'
+                              || len(sl)::VARCHAR, ';' ORDER BY gs)
+                   AS spans_str
+          FROM cut GROUP BY example_id
+        )
+        SELECT example_id,
+               md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+               len(tokens)::INT AS n_tok, spans_str
+        FROM ex
     """
 
     # Token-budget enforcement: DuckDB's own per-source running-sum

@@ -92,11 +92,17 @@ def pack_sequences(
     tok_col: str = "tokens",
     n_buckets: int | None = None,
     n_rows: int | None = None,
+    emit_spans: bool = False,
 ) -> DataFrame:
     """-> (example_id long, tokens array<int>, n_tok int): consecutive
     ``max_len``-token examples of the doc_id-ordered concatenated stream.
     Pass ``n_rows`` (the input row count, if known) to skip the
-    fraction-sizing count scan.
+    fraction-sizing count scan. ``emit_spans=True`` appends
+    ``doc_spans array<struct<offset int, length int>>`` — the per-example
+    document-piece layout a loader needs to build BLOCK-DIAGONAL
+    attention masks (no cross-document attention) without re-detecting
+    boundaries; spans derive from the same sorted piece structs the
+    tokens flatten from, so they cannot disagree with the token layout.
 
     Pure-JVM formulation: global offsets come from a window cumsum
     PARTITIONED BY the deterministic range bucket (bucket-sized partitions
@@ -195,19 +201,40 @@ def pack_sequences(
             F.col("_t"), (gs - F.col("_off") + 1).cast("int"), (ge - gs).cast("int")
         ).alias("_slice"),
     )
+    sorted_pieces = F.array_sort(F.collect_list(F.struct("_start", "_slice")))
+    cols = [
+        "example_id",
+        "tokens",
+        F.size("tokens").cast("int").alias("n_tok"),
+    ]
+    if emit_spans:
+        # (offset-in-example, length) per document piece, in stream order
+        # — the block-diagonal attention-mask metadata: a loader masks
+        # cross-document attention without re-detecting boundaries.
+        # Derived from the SAME sorted piece structs the tokens flatten
+        # from, so spans can never disagree with the token layout.
+        cols.append(
+            F.transform(
+                F.col("_sorted"),
+                lambda s: F.struct(
+                    (s.getField("_start") - F.col("example_id") * max_len)
+                    .cast("int")
+                    .alias("offset"),
+                    F.size(s.getField("_slice")).cast("int").alias("length"),
+                ),
+            ).alias("doc_spans")
+        )
     return (
         pieces.groupBy("example_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_start", "_slice"))),
-                    lambda s: s.getField("_slice"),
-                )
-            ).alias("tokens")
-        )
+        .agg(sorted_pieces.alias("_sorted"))
         .select(
-            "example_id", "tokens", F.size("tokens").cast("int").alias("n_tok")
+            "example_id",
+            F.flatten(
+                F.transform(F.col("_sorted"), lambda s: s.getField("_slice"))
+            ).alias("tokens"),
+            "_sorted",
         )
+        .select(*cols)
     )
 
 

@@ -621,3 +621,33 @@ def test_token_budget_partition_count_independent(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_pack_sequences_doc_spans_tile_examples(spark):
+    """emit_spans: per-example (offset, length) pieces must tile each
+    example contiguously, match the scalar packing layout, and agree
+    with the default path's tokens."""
+    from otel_tail_sampler_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:02d}", list(range(i % 5 + 1))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r["example_id"]: (list(r["tokens"]), [(s["offset"], s["length"]) for s in r["doc_spans"]])
+        for r in pack_sequences(df, max_len=7, emit_spans=True).collect()
+    }
+    plain = {
+        r["example_id"]: list(r["tokens"])
+        for r in pack_sequences(df, max_len=7).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == plain
+    # scalar reference: concatenate in doc_id order, cut at 7
+    stream = [t for _, toks in sorted(rows) for t in toks]
+    for ex, (toks, spans) in out.items():
+        assert toks == stream[ex * 7 : (ex + 1) * 7]
+        # spans tile [0, n_tok) contiguously — every example starts at
+        # its own boundary, so the first piece's offset is always 0
+        cur = 0
+        for off, ln in spans:
+            assert off == cur and ln > 0
+            cur = off + ln
+        assert cur == len(toks)
