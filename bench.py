@@ -240,8 +240,6 @@ def main() -> None:
     # online-apply shape — model built once outside the timed window (a
     # standing artifact in deployment), each micro-batch scored + resampled
     # before dedup; the delta vs streaming_prep is the gate's cost
-    from pyspark.sql import functions as SF
-
     from otel_tail_sampler_spark.operators.selection import (
         build_dsir_model_partitioned,
     )
@@ -251,7 +249,7 @@ def main() -> None:
         spark.read.parquet(src_dir), vocab_size=4096, keep_cols=("source",)
     )
     model = build_dsir_model_partitioned(
-        toks, SF.col("source") == "src0", n_buckets=1 << 16
+        toks, F.col("source") == "src0", n_buckets=1 << 16
     )
     model = spark.createDataFrame(model.collect(), model.schema)
     best = float("inf")

@@ -194,14 +194,25 @@ def pack_sequences(
     )
     gs = F.greatest(F.col("_off"), F.col("example_id") * max_len)
     ge = F.least(F.col("_off") + F.col("_n"), (F.col("example_id") + 1) * max_len)
-    pieces = exploded.select(
+    piece_cols = [
         F.col("example_id"),
         gs.alias("_start"),
         F.slice(
             F.col("_t"), (gs - F.col("_off") + 1).cast("int"), (ge - gs).cast("int")
         ).alias("_slice"),
-    )
-    sorted_pieces = F.array_sort(F.collect_list(F.struct("_start", "_slice")))
+    ]
+    if emit_spans:
+        # offset-in-example computed HERE, where example_id is a plain
+        # row column — a transform lambda capturing the outer example_id
+        # later would be the HOF-captures-outer-column shape the
+        # analyzer mishandles across join deduplication (see
+        # form_batches' bucket expression note)
+        piece_cols.append(
+            (gs - F.col("example_id") * max_len).cast("int").alias("_oie")
+        )
+    pieces = exploded.select(*piece_cols)
+    struct_fields = ["_start", "_slice"] + (["_oie"] if emit_spans else [])
+    sorted_pieces = F.array_sort(F.collect_list(F.struct(*struct_fields)))
     cols = [
         "example_id",
         "tokens",
@@ -212,14 +223,13 @@ def pack_sequences(
         # — the block-diagonal attention-mask metadata: a loader masks
         # cross-document attention without re-detecting boundaries.
         # Derived from the SAME sorted piece structs the tokens flatten
-        # from, so spans can never disagree with the token layout.
+        # from, so spans can never disagree with the token layout; the
+        # lambda reads only struct fields (no outer-column capture).
         cols.append(
             F.transform(
                 F.col("_sorted"),
                 lambda s: F.struct(
-                    (s.getField("_start") - F.col("example_id") * max_len)
-                    .cast("int")
-                    .alias("offset"),
+                    s.getField("_oie").alias("offset"),
                     F.size(s.getField("_slice")).cast("int").alias("length"),
                 ),
             ).alias("doc_spans")

@@ -482,9 +482,10 @@ def main() -> None:
         "Per-source token-budget enforcement",
         "What to check: the running sum windows ONLY over (source,\n"
         "md5-prefix subrange) — never the bare source (a giant source\n"
-        "would funnel one task); offsets and budgets both arrive via\n"
-        "BroadcastHashJoin on tables; the filter is a codegen\n"
-        "comparison above the window.",
+        "would funnel one task); offsets arrive via BroadcastHashJoin\n"
+        "on a table (this audited call passes an int budget, attached\n"
+        "as a literal — the dict-budget path joins a second broadcast\n"
+        "table); the filter is a codegen comparison above the window.",
         enforce_token_budget(tokdf, 100_000).select(
             "doc_id", "source", "n_tok", "cum_tokens"
         ),

@@ -640,14 +640,22 @@ def test_pack_sequences_doc_spans_tile_examples(spark):
         for r in pack_sequences(df, max_len=7).collect()
     }
     assert {k: v[0] for k, v in out.items()} == plain
-    # scalar reference: concatenate in doc_id order, cut at 7
-    stream = [t for _, toks in sorted(rows) for t in toks]
+    # scalar reference with DOCUMENT boundaries: spans must be exactly
+    # the intersections of each document's stream interval with the
+    # example window, in order — tiling alone would green a degenerate
+    # one-span-per-example layout (symmetric-oracle blind spot)
+    stream, bounds, pos = [], [], 0
+    for _, toks in sorted(rows):
+        if toks:
+            bounds.append((pos, pos + len(toks)))
+            pos += len(toks)
+            stream.extend(toks)
     for ex, (toks, spans) in out.items():
         assert toks == stream[ex * 7 : (ex + 1) * 7]
-        # spans tile [0, n_tok) contiguously — every example starts at
-        # its own boundary, so the first piece's offset is always 0
-        cur = 0
-        for off, ln in spans:
-            assert off == cur and ln > 0
-            cur = off + ln
-        assert cur == len(toks)
+        lo, hi = ex * 7, min((ex + 1) * 7, len(stream))
+        want = [
+            (max(s, lo) - lo, min(e, hi) - max(s, lo))
+            for s, e in bounds
+            if s < hi and e > lo
+        ]
+        assert spans == want, ex
