@@ -1541,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "token_budget": q_token_budget,
         "pack_doc_spans": q_pack_doc_spans,
+        "stratified_shards": q_stratified_shards,
     }
 
 
@@ -2076,6 +2077,20 @@ def q_tokenizer_fertility(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_stratified_shards(spark, sf_dir):
+    """Stratified shard assignment: every source spread across 8 shards
+    exactly round-robin in md5 order — strict per-shard mixture control
+    (assign_shards balances sources only in expectation)."""
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards_stratified,
+    )
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return assign_shards_stratified(
+        tok, n_shards=8, by="source", id_col="doc_id"
+    ).select("doc_id", "source", "shard", "stratum_pos")
 
 
 def q_pack_doc_spans(spark, sf_dir):
@@ -4198,6 +4213,24 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
                len(tokens)::INT AS n_tok, spans_str
         FROM ex
+    """
+
+    # Stratified sharding: DuckDB's own per-source rank window vs
+    # Spark's two-phase subrange reconstruction + round-robin math.
+    o["stratified_shards"] = f"""
+        WITH tok AS (
+          SELECT doc_id, source
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id || '|' || 'shards'), doc_id) - 1
+                   AS rk
+          FROM tok)
+        SELECT doc_id, source, (rk % 8)::INT AS shard,
+               (rk // 8)::BIGINT AS stratum_pos
+        FROM r
     """
 
     # Token-budget enforcement: DuckDB's own per-source running-sum

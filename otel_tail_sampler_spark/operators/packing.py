@@ -829,3 +829,49 @@ def enforce_token_budget(
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_pos", "_budget")
     )
+
+
+def assign_shards_stratified(
+    examples: DataFrame,
+    n_shards: int,
+    by: str = "source",
+    id_col: str = "example_id",
+    seed: str = "shards",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Stratified shard assignment: every ``by`` group is spread across
+    shards EXACTLY round-robin in its own md5 rank order, so each shard
+    holds ``ceil/floor(|group| / n_shards)`` of every group — strict
+    mixture control per shard file, where ``assign_shards``' global md5
+    hash balances sources only in expectation (a small domain can land
+    unevenly across a handful of shards). Adds (shard int,
+    stratum_pos long): ``stratum_pos`` = the example's 0-based ordinal
+    within its (group, shard) cell, in rank order — a per-cell reader
+    ordering; readers that want the decorrelated global order can sort
+    by md5 downstream exactly as assign_shards documents.
+
+    Scale shape: one ``_subrange_rank`` pass (per-group reset) — no
+    single-task window even for one giant group — then two pure
+    projections; shard = rank % n_shards is engine-exact integer math.
+    """
+    if int(n_shards) <= 0:
+        raise ValueError("n_shards must be positive")
+    ranked, _ = _subrange_rank(
+        examples,
+        by,
+        id_col,
+        seed,
+        sub_prefix_len,
+        group_sort_key=lambda g: g,
+        reset_per_group=True,
+    )
+    return (
+        ranked.withColumn(
+            "shard", F.pmod(F.col("_pos"), F.lit(int(n_shards))).cast("int")
+        )
+        .withColumn(
+            "stratum_pos",
+            F.expr(f"_pos div {int(n_shards)}").cast("long"),
+        )
+        .drop("_pos")
+    )

@@ -659,3 +659,38 @@ def test_pack_sequences_doc_spans_tile_examples(spark):
             if s < hi and e > lo
         ]
         assert spans == want, ex
+
+
+def test_assign_shards_stratified_exact_proportions(spark):
+    """Every (group, shard) cell holds floor/ceil(|group|/n_shards)
+    examples, and the assignment matches the scalar rank % n reference."""
+    import hashlib
+    from collections import Counter
+
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards_stratified,
+    )
+
+    rows = [
+        (f"e{i:03d}", "big" if i < 70 else "small") for i in range(83)
+    ]
+    df = spark.createDataFrame(rows, "example_id string, source string")
+    out = assign_shards_stratified(df, n_shards=4).collect()
+    cells = Counter((r["source"], r["shard"]) for r in out)
+    for grp, n in (("big", 70), ("small", 13)):
+        sizes = [cells[(grp, s)] for s in range(4)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1  # exact round-robin split
+
+    def h(did):
+        return hashlib.md5(f"{did}|shards".encode()).hexdigest()
+
+    want = {}
+    for grp in ("big", "small"):
+        ids = sorted(
+            (d for d, g in rows if g == grp), key=lambda d: (h(d), d)
+        )
+        for rank, did in enumerate(ids):
+            want[did] = (rank % 4, rank // 4)
+    got = {r["example_id"]: (r["shard"], r["stratum_pos"]) for r in out}
+    assert got == want
