@@ -349,3 +349,29 @@ def test_curriculum_order_no_global_sort_window(spark, small_dataset):
     assert "BroadcastHashJoin" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
     assert specs and all("_sub" in s for s in specs)
+
+
+def test_budget_and_stratified_windows_never_bare_group(spark, small_dataset):
+    """enforce_token_budget and assign_shards_stratified must window only
+    over (group, md5-prefix subrange) — a bare-group window funnels a
+    giant source through one task."""
+    import re
+
+    from otel_tail_sampler_spark.operators.packing import (
+        assign_shards_stratified,
+        enforce_token_budget,
+    )
+
+    df = spark.read.parquet(small_dataset["tokenized"])
+    for out in (
+        enforce_token_budget(df, 10_000).select(
+            "doc_id", "source", "cum_tokens"
+        ),
+        assign_shards_stratified(df, 4, by="source", id_col="doc_id").select(
+            "doc_id", "source", "shard", "stratum_pos"
+        ),
+    ):
+        plan = _explain(out)
+        specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+        assert specs and all("_sub" in s for s in specs), specs
+        assert "BroadcastHashJoin" in plan
