@@ -1542,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pack_doc_spans": q_pack_doc_spans,
         "stratified_shards": q_stratified_shards,
+        "interleave_key": q_interleave_key,
     }
 
 
@@ -2077,6 +2078,20 @@ def q_tokenizer_fertility(spark, sf_dir):
     from otel_tail_sampler_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_interleave_key(spark, sf_dir):
+    """Stride-scheduled mixture-stable stream order: svc-00..03 at
+    weight 2, svc-04..07 at weight 1 — every prefix of the key order
+    holds the 2:1 mixture (the deterministic analog of per-step
+    mixture sampling; composes with pack_sequences)."""
+    from otel_tail_sampler_spark.operators.packing import interleave_key
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    weights = {f"svc-{i:02d}": (2 if i < 4 else 1) for i in range(8)}
+    return interleave_key(tok, weights).select(
+        "doc_id", "source", "interleave_key"
+    )
 
 
 def q_stratified_shards(spark, sf_dir):
@@ -4213,6 +4228,30 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
                len(tokens)::INT AS n_tok, spans_str
         FROM ex
+    """
+
+    # Stride interleaving: DuckDB's own per-source rank window + the
+    # same exact-integer pass arithmetic (lcm(2,1)=2: stride 1 for the
+    # weight-2 sources, 2 for weight-1).
+    _ilv_w = ", ".join(
+        f"('svc-{i:02d}', {1 if i < 4 else 2})" for i in range(8)
+    )
+    o["interleave_key"] = f"""
+        WITH tok AS (
+          SELECT doc_id, source
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id || '|' || 'interleave'), doc_id)
+                   - 1 AS rk
+          FROM tok),
+        w(source, stride) AS (VALUES {_ilv_w})
+        SELECT doc_id, source,
+               lpad(((rk + 1) * stride)::VARCHAR, 19, '0')
+                 || '|' || source || '|' || doc_id AS interleave_key
+        FROM r JOIN w USING (source)
     """
 
     # Stratified sharding: DuckDB's own per-source rank window vs

@@ -875,3 +875,82 @@ def assign_shards_stratified(
         )
         .drop("_pos")
     )
+
+
+def interleave_key(
+    df: DataFrame,
+    weights: dict,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "interleave",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Mixture-stable stream ordering by STRIDE SCHEDULING (weighted
+    round-robin): adds ``interleave_key`` (a fixed-width sortable
+    string) such that reading — or packing — the corpus in key order
+    interleaves sources at their weight ratios in every prefix, not
+    just in aggregate: weight {a: 2, b: 1} yields a,a,b,a,a,b,...
+    This is the deterministic analog of per-step mixture sampling — a
+    training run that consumes the stream front-to-back sees the target
+    mixture at every point, so curricula/checkpoint-restarts don't
+    drift the mixture the way a source-blocked order would.
+
+    Construction: each group's documents take their md5 rank r within
+    the group (deterministic shuffle), then the classic stride pass
+    number ``(r + 1) * (L / w_g)`` with ``L = lcm(weights)`` — exact
+    integers, no float ties — zero-padded into the key, with group and
+    id appended for a total order. A group absent from ``weights``
+    raises (spell every source, as enforce_token_budget requires).
+
+    Composes with pack_sequences directly:
+    ``pack_sequences(interleave_key(df, w), id_col="interleave_key")``
+    packs the mixture-stable stream. Scale shape: one
+    ``_subrange_rank`` pass (per-group reset, no single-task window)
+    plus a pure projection.
+    """
+    from math import gcd
+
+    if not weights:
+        raise ValueError("weights must name every group")
+    ws = {g: int(w) for g, w in weights.items()}
+    if any(w <= 0 for w in ws.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = 1
+    for w in ws.values():
+        lcm = lcm * w // gcd(lcm, w)
+    ranked, _ = _subrange_rank(
+        df,
+        by,
+        id_col,
+        seed,
+        sub_prefix_len,
+        group_sort_key=lambda g: g,
+        reset_per_group=True,
+    )
+    stride_pairs = []
+    for g, w in ws.items():
+        stride_pairs.append((g, lcm // w))
+    spark = df.sparkSession
+    gtype = df.schema[by].dataType.simpleString()
+    strides = F.broadcast(
+        spark.createDataFrame(stride_pairs, f"{by} {gtype}, _stride long")
+    )
+    joined = ranked.join(strides, by, "left")
+    missing = F.when(
+        F.col("_stride").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("interleave_key: no weight for group "),
+                F.col(by).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_stride"))
+    # pass number bounded by (max rank + 1) * lcm — 19 digits holds any
+    # int64; group + id appended for a deterministic total order
+    key = F.concat_ws(
+        "|",
+        F.lpad(((F.col("_pos") + 1) * missing).cast("string"), 19, "0"),
+        F.col(by).cast("string"),
+        F.col(id_col).cast("string"),
+    )
+    return joined.withColumn("interleave_key", key).drop("_pos", "_stride")

@@ -694,3 +694,92 @@ def test_assign_shards_stratified_exact_proportions(spark):
             want[did] = (rank % 4, rank // 4)
     got = {r["example_id"]: (r["shard"], r["stratum_pos"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interleave_key (stride scheduling)
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_key_mixture_stable_prefixes(spark):
+    """Weights {a:2, b:1}: every prefix of the key order holds a and b
+    near their 2:1 ratio (stride property), and the full order matches
+    the scalar stride-scheduling reference."""
+    import hashlib
+
+    from otel_tail_sampler_spark.operators.packing import interleave_key
+
+    rows = [(f"a{i:02d}", "a") for i in range(20)] + [
+        (f"b{i:02d}", "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = sorted(
+        (r["interleave_key"], r["doc_id"], r["source"])
+        for r in interleave_key(df, {"a": 2, "b": 1}).collect()
+    )
+    order = [(d, s) for _, d, s in out]
+
+    # scalar stride reference: pass = (r+1) * lcm/w, ties (group, id)
+    def h(did):
+        return hashlib.md5(f"{did}|interleave".encode()).hexdigest()
+
+    ref = []
+    for grp, w in (("a", 2), ("b", 1)):
+        ids = sorted(
+            (d for d, g in rows if g == grp), key=lambda d: (h(d), d)
+        )
+        for r, did in enumerate(ids):
+            ref.append(((r + 1) * (2 // w), grp, did))
+    ref.sort()
+    assert order == [(d, g) for _, g, d in ref]
+
+    # stride property: every prefix is within one stride of 2:1
+    seen_a = seen_b = 0
+    for _, s in order:
+        seen_a += s == "a"
+        seen_b += s == "b"
+        assert abs(seen_a - 2 * seen_b) <= 2, (seen_a, seen_b)
+
+
+def test_interleave_key_missing_weight_raises(spark):
+    from otel_tail_sampler_spark.operators.packing import interleave_key
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("y", "zz")], "doc_id string, source string"
+    )
+    out = interleave_key(df, {"a": 1})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no weight for group"):
+        out.collect()
+
+
+def test_interleave_key_composes_with_packing(spark):
+    """Packing on the interleave key consumes the mixture-stable order:
+    tokens appear in exactly the key-sorted document order."""
+    from otel_tail_sampler_spark.operators.packing import (
+        interleave_key,
+        pack_sequences,
+    )
+
+    rows = [
+        (f"a{i}", "a", [10 + i] * 3) for i in range(4)
+    ] + [(f"b{i}", "b", [90 + i] * 3) for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    )
+    keyed = interleave_key(df, {"a": 2, "b": 1})
+    packed = (
+        pack_sequences(keyed, max_len=6, id_col="interleave_key")
+        .toPandas()
+        .sort_values("example_id")
+    )
+    stream = [int(t) for toks in packed["tokens"] for t in toks]
+    want = [
+        t
+        for k, toks in sorted(
+            (r["interleave_key"], r["tokens"]) for r in keyed.collect()
+        )
+        for t in toks
+    ]
+    assert stream == want
