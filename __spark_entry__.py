@@ -4250,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         w(source, stride) AS (VALUES {_ilv_w})
         SELECT doc_id, source,
                lpad(((rk + 1) * stride)::VARCHAR, 19, '0')
+                 || '|' || lpad(length(source)::VARCHAR, 4, '0')
                  || '|' || source || '|' || doc_id AS interleave_key
         FROM r JOIN w USING (source)
     """

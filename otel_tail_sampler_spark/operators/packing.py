@@ -908,16 +908,14 @@ def interleave_key(
     ``_subrange_rank`` pass (per-group reset, no single-task window)
     plus a pure projection.
     """
-    from math import gcd
+    from math import lcm as _lcm
 
     if not weights:
         raise ValueError("weights must name every group")
     ws = {g: int(w) for g, w in weights.items()}
     if any(w <= 0 for w in ws.values()):
         raise ValueError("weights must be positive integers")
-    lcm = 1
-    for w in ws.values():
-        lcm = lcm * w // gcd(lcm, w)
+    lcm = _lcm(*ws.values())
     ranked, _ = _subrange_rank(
         df,
         by,
@@ -946,10 +944,15 @@ def interleave_key(
         ).cast("long"),
     ).otherwise(F.col("_stride"))
     # pass number bounded by (max rank + 1) * lcm — 19 digits holds any
-    # int64; group + id appended for a deterministic total order
+    # int64. The group rides LENGTH-PREFIXED so the key stays INJECTIVE
+    # even when group or id values contain the '|' separator (without
+    # the prefix, ('a', 'b|c') and ('a|b', 'c') would collide — and a
+    # colliding sort key would make a downstream
+    # pack_sequences(id_col="interleave_key") tie-nondeterministic).
     key = F.concat_ws(
         "|",
         F.lpad(((F.col("_pos") + 1) * missing).cast("string"), 19, "0"),
+        F.lpad(F.length(F.col(by).cast("string")).cast("string"), 4, "0"),
         F.col(by).cast("string"),
         F.col(id_col).cast("string"),
     )

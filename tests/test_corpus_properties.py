@@ -220,19 +220,17 @@ def test_subrange_rank_matches_scalar_order(spark, rows, reset, use_value):
     df = spark.createDataFrame(
         rows, "doc_id string, grp int, val int"
     )
-    got = {
-        r["doc_id"]: r["_pos"]
-        for r in _subrange_rank(
-            df,
-            "grp",
-            "doc_id",
-            "proptest",
-            1,
-            group_sort_key=lambda g: g,
-            reset_per_group=reset,
-            value_col="val" if use_value else None,
-        )[0].collect()
-    }
+    ranked, got_total = _subrange_rank(
+        df,
+        "grp",
+        "doc_id",
+        "proptest",
+        1,
+        group_sort_key=lambda g: g,
+        reset_per_group=reset,
+        value_col="val" if use_value else None,
+    )
+    got = {r["doc_id"]: r["_pos"] for r in ranked.collect()}
 
     def h(did):
         return hashlib.md5(f"{did}|proptest".encode()).hexdigest()
@@ -251,6 +249,7 @@ def test_subrange_rank_matches_scalar_order(spark, rows, reset, use_value):
         run[scope] = base + q
         glob += q
     assert got == want
+    assert got_total == glob  # the returned grand total
 
 
 # ---------------------------------------------------------------------------

@@ -729,9 +729,11 @@ def test_interleave_key_mixture_stable_prefixes(spark):
             (d for d, g in rows if g == grp), key=lambda d: (h(d), d)
         )
         for r, did in enumerate(ids):
-            ref.append(((r + 1) * (2 // w), grp, did))
+            # key order: (pass, len(group), group, id) — the length
+            # prefix keeps the key injective under '|' in values
+            ref.append(((r + 1) * (2 // w), len(grp), grp, did))
     ref.sort()
-    assert order == [(d, g) for _, g, d in ref]
+    assert order == [(d, g) for _, _, g, d in ref]
 
     # stride property: every prefix is within one stride of 2:1
     seen_a = seen_b = 0
@@ -783,3 +785,19 @@ def test_interleave_key_composes_with_packing(spark):
         for t in toks
     ]
     assert stream == want
+
+
+def test_interleave_key_injective_with_separator_in_values(spark):
+    """Group/id values containing the '|' separator must still yield
+    distinct keys (the length prefix disambiguates): ('a', 'b|c') vs
+    ('a|b', 'c') was a collision without it."""
+    from otel_tail_sampler_spark.operators.packing import interleave_key
+
+    df = spark.createDataFrame(
+        [("b|c", "a"), ("c", "a|b")], "doc_id string, source string"
+    )
+    keys = [
+        r["interleave_key"]
+        for r in interleave_key(df, {"a": 1, "a|b": 1}).collect()
+    ]
+    assert len(set(keys)) == 2
