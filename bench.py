@@ -161,6 +161,8 @@ def main() -> None:
         "bpe_encode",
         "dsir_select",
         "length_batches",
+        "token_budget",
+        "interleave_key",
     ]
     # min-of-3 per secondary: single-shot timings on this +/-50%-variance
     # host made round-over-round deltas meaningless (VERDICT r2 #5).
