@@ -1400,90 +1400,46 @@ def q_events_rollup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness artifact records the
     FIRST 50 entries, so the dict is ordered least-proven-first and the
-    window ROTATES by last-green round. Round-5 window: (1) the 22
-    round-4 additions that have never had a driver row (fim_transform …
-    span_corruption), (2) 28 of the 31 r3-green entries that rotated out
-    of the r4 window. Three r3-green entries stay in the tail to keep the
-    window at exactly 50: lsh_topk_approx / ivf_topk_approx (rows-only by
-    nature — the driver check they'd get is weaker than the recall pytest
-    that carries them) and winnow_fingerprints (its kernel is attested
-    in-window via winnow_pairs / winnow_report / winnow_poly, which call
-    the same builder). The r4-green tier sits in the tail — newest driver
-    row one round old — and leads the r6 window; queries added THIS round
-    are appended at the very end and lead r6's window with it.
+    window ROTATES by last-green round. Round-6 window: (1) the 13
+    round-5 additions that have never had a driver row
+    (bm25_search_index … interleave_key), (2) the first 37 of the
+    r4-green tier that rotated out of the r5 window (hash_tokenize …
+    embedding_topk, in tail order). The 13 r4-green entries that do not
+    fit (trace_assembly … error_traces_recent) keep their r4 row — two
+    rounds old after r6, within the contract's staleness bound — and
+    lead the r7 window together with anything added this round. The
+    r5-green tier (CORRECTNESS_r05's 50) follows them in the tail. Three
+    entries stay permanently at the tail end as documented exceptions:
+    lsh_topk_approx / ivf_topk_approx (rows-only by nature — the driver
+    check they'd get is weaker than the recall pytest that carries them)
+    and winnow_fingerprints (its kernel is attested in-window via
+    winnow_pairs / winnow_report / winnow_poly, which call the same
+    builder). Queries added THIS round are appended at the very end.
     scripts/check_oracles.py + pytest re-prove the whole surface locally
     every round."""
     return {
-        # -- NEW in r4, never driver-attested: lead the window --
-        "fim_transform": q_fim_transform,
-        "bigram_novelty": q_bigram_novelty,
-        "quantized_topk": q_quantized_topk,
-        "chunk_documents": q_chunk_documents,
-        "stratified_sample": q_stratified_sample,
-        "mask_tokens": q_mask_tokens,
-        "pmi_collocations": q_pmi_collocations,
-        "corpus_report": q_corpus_report,
-        "dedup_representatives": q_dedup_representatives,
-        # rows-only by nature: greedy first-fit is a per-bucket recurrence
-        # no SQL can express; scalar-reference pytest carries correctness
-        "pack_documents_greedy": q_pack_documents_greedy,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        "decontaminate_corpus": q_decontaminate_corpus,
-        "apply_dedup": q_apply_dedup,
-        "dedup_lines": q_dedup_lines,
-        "source_overlap": q_source_overlap,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "bm25_topk": q_bm25_topk,
-        "ngram_counts": q_ngram_counts,
-        "bpe_encode": q_bpe_encode,
-        "bpe_encode_ids": q_bpe_encode_ids,
-        "span_corruption": q_span_corruption,
-        # -- r3-green tier that rotated out of the r4 window (newest
-        #    driver row is r3): window fill --
-        "span_service_stats": q_span_service_stats,
-        "span_compression": q_span_compression,
-        "enrich_broadcast": q_enrich_broadcast,
-        "exported_dedup_ttl": q_exported_dedup_ttl,
-        "trace_readiness": q_trace_readiness,
-        "events_session_agg": q_events_session_agg,
-        "events_sessionize": q_events_sessionize,
-        "dedup_components": q_dedup_components,
-        "parse_spans": q_parse_spans,
-        "dup_token_spans": q_dup_token_spans,
-        "doc_rarity": q_doc_rarity,
-        "winnow_pairs": q_winnow_pairs,
-        "winnow_report": q_winnow_report,
-        "contamination": q_contamination,
-        "assign_shards": q_assign_shards,
-        "winnow_poly": q_winnow_poly,
-        "prepare_corpus": q_prepare_corpus,
-        "split_corpus": q_split_corpus,
-        "vocab_histogram": q_vocab_histogram,
-        "mixture_sample": q_mixture_sample,
-        "text_stats": q_text_stats,
-        "repetition_signals": q_repetition_signals,
-        "redact_pii": q_redact_pii,
-        "token_counts": q_token_counts,
-        "doc_quality": q_doc_quality,
-        "multimodal_features": q_multimodal_features,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # ---- window boundary (exactly 50 above) ----
-        # -- r3-green, held out of the window by the documented
-        #    exceptions above --
-        "lsh_topk_approx": q_lsh_topk_approx,
-        "ivf_topk_approx": q_ivf_topk_approx,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        # -- tail: green in the r4 driver artifact; leads the r6 window --
+        # -- NEW in r5, never driver-attested: lead the window --
+        "bm25_search_index": q_bm25_search_index,
+        "dsir_select": q_dsir_select,
+        "length_batches": q_length_batches,
+        "batch_pad_stats": q_batch_pad_stats,
+        "vocab_coverage": q_vocab_coverage,
+        "curriculum_order": q_curriculum_order,
+        "dsir_sample": q_dsir_sample,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "shard_manifest": q_shard_manifest,
+        "token_budget": q_token_budget,
+        "pack_doc_spans": q_pack_doc_spans,
+        "stratified_shards": q_stratified_shards,
+        "interleave_key": q_interleave_key,
+        # -- r4-green tier (newest driver row is r4, rotated out of
+        #    the r5 window): window fill, first 37 in tail order --
         "hash_tokenize": q_hash_tokenize,
         "trim_dup_spans": q_trim_dup_spans,
         "corpus_to_shards": q_corpus_to_shards,
         "pack_sequences": q_pack_sequences,
         "remap_rare_tokens": q_remap_rare_tokens,
         "pack_with_boundaries": q_pack_with_boundaries,
-        # composite rollups (several stalwarts per driver row; their legs
-        # are the standalone builders, so one row attests all)
         "pipeline_counters_rollup": q_pipeline_counters_rollup,
         "relational_rollup": q_relational_rollup,
         "events_rollup": q_events_rollup,
@@ -1515,6 +1471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        # ---- window boundary (exactly 50 above) ----
+        # -- r4-green remainder (13): newest row stays r4 — 2 rounds
+        #    old after r6, within the contract bound; leads the r7
+        #    window together with queries added in r6 --
         "trace_assembly": q_trace_assembly,
         "trace_assembly_salted": q_trace_assembly_salted,
         "configurable_policy": q_configurable_policy,
@@ -1528,21 +1488,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_type": q_operation_type,
         "resource_attrs": q_resource_attrs,
         "error_traces_recent": q_error_traces_recent,
-        # -- NEW this round (r5): no driver row yet; verified by
-        #    check_oracles + pytest, lead the r6 window --
-        "bm25_search_index": q_bm25_search_index,
-        "dsir_select": q_dsir_select,
-        "length_batches": q_length_batches,
-        "batch_pad_stats": q_batch_pad_stats,
-        "vocab_coverage": q_vocab_coverage,
-        "curriculum_order": q_curriculum_order,
-        "dsir_sample": q_dsir_sample,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "shard_manifest": q_shard_manifest,
-        "token_budget": q_token_budget,
-        "pack_doc_spans": q_pack_doc_spans,
-        "stratified_shards": q_stratified_shards,
-        "interleave_key": q_interleave_key,
+        # -- r5-green tier (green in CORRECTNESS_r05): fills the r7
+        #    window after the r4 remainder --
+        "fim_transform": q_fim_transform,
+        "bigram_novelty": q_bigram_novelty,
+        "quantized_topk": q_quantized_topk,
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample": q_stratified_sample,
+        "mask_tokens": q_mask_tokens,
+        "pmi_collocations": q_pmi_collocations,
+        "corpus_report": q_corpus_report,
+        "dedup_representatives": q_dedup_representatives,
+        # rows-only by nature: greedy first-fit is a per-bucket recurrence
+        # no SQL can express; scalar-reference pytest carries correctness
+        "pack_documents_greedy": q_pack_documents_greedy,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "decontaminate_corpus": q_decontaminate_corpus,
+        "apply_dedup": q_apply_dedup,
+        "dedup_lines": q_dedup_lines,
+        "source_overlap": q_source_overlap,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25_topk": q_bm25_topk,
+        "ngram_counts": q_ngram_counts,
+        "bpe_encode": q_bpe_encode,
+        "bpe_encode_ids": q_bpe_encode_ids,
+        "span_corruption": q_span_corruption,
+        "span_service_stats": q_span_service_stats,
+        "span_compression": q_span_compression,
+        "enrich_broadcast": q_enrich_broadcast,
+        "exported_dedup_ttl": q_exported_dedup_ttl,
+        "trace_readiness": q_trace_readiness,
+        "events_session_agg": q_events_session_agg,
+        "events_sessionize": q_events_sessionize,
+        "dedup_components": q_dedup_components,
+        "parse_spans": q_parse_spans,
+        "dup_token_spans": q_dup_token_spans,
+        "doc_rarity": q_doc_rarity,
+        "winnow_pairs": q_winnow_pairs,
+        "winnow_report": q_winnow_report,
+        "contamination": q_contamination,
+        "assign_shards": q_assign_shards,
+        "winnow_poly": q_winnow_poly,
+        "prepare_corpus": q_prepare_corpus,
+        "split_corpus": q_split_corpus,
+        "vocab_histogram": q_vocab_histogram,
+        "mixture_sample": q_mixture_sample,
+        "text_stats": q_text_stats,
+        "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
+        "token_counts": q_token_counts,
+        "doc_quality": q_doc_quality,
+        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # -- held out by the documented exceptions: rows-only approx-ANN
+        #    pair (recall pytest is the stronger check) and
+        #    winnow_fingerprints (attested via the winnow_* compositions
+        #    that call the same builder) --
+        "lsh_topk_approx": q_lsh_topk_approx,
+        "ivf_topk_approx": q_ivf_topk_approx,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- NEW this round (r6) are appended below this line and lead
+        #    the r7 window per the contract --
     }
 
 
