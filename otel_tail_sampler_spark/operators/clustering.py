@@ -259,7 +259,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 2,
     tau: tuple[int, int] = (19, 20),
-    max_cluster_anchors: int | None = None,
+    max_cluster_anchors: int | None = 256,
     id_col: str = "vec_id",
     qvec_col: str = "qvec",
 ) -> DataFrame:
@@ -283,8 +283,12 @@ def semantic_dedup(
     every pair's smaller id is inside the anchor set by construction; an
     oversized cluster costs |C|*cap pairs and may under-drop members
     similar only to non-anchors (the same lower-bound contract as
-    ``contamination``'s max_gram_df). Default None keeps the exact
-    all-pairs-within-cluster semantics.
+    ``contamination``'s max_gram_df). The cap DEFAULTS to 256: at corpus
+    scale the degenerate hot cluster (boilerplate, near-identical docs)
+    is the expected case, not the edge, so the bounded behavior must be
+    what a default-config run gets — mirroring max_gram_df's bounded
+    default. Pass ``max_cluster_anchors=None`` to opt in to the exact
+    unbounded all-pairs-within-cluster semantics.
     """
     from otel_tail_sampler_spark.functions.spread import spread_small_input
 
