@@ -1093,5 +1093,10 @@ def vocab_coverage(
                 6,
             ).alias("coverage"),
         )
+        # empty corpus: the frequency table has no rows, so _n aggregates
+        # to NULL — emit ZERO rows (matching a SQL CROSS JOIN over the
+        # empty freq table) instead of one all-NULL row per cutoff
+        # (ADVICE r5: the degenerate case diverged cross-engine)
+        .where(F.col("total").isNotNull())
         .orderBy("cutoff")
     )

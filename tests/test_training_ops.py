@@ -1700,3 +1700,18 @@ def test_tokenizer_fertility_scalar_reference(spark):
             (1 << 20) * nc // max(w, 1),
             (1 << 20) * nc // max(b, 1),
         )
+
+
+def test_vocab_coverage_empty_corpus_emits_no_rows(spark):
+    # ADVICE r5: an empty corpus must return ZERO rows (matching a SQL
+    # CROSS JOIN over the empty frequency table), not one NULL-total /
+    # NULL-coverage row per cutoff.
+    from otel_tail_sampler_spark.operators.corpus import vocab_coverage
+
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    assert vocab_coverage(empty, cutoffs=(2, 8)).collect() == []
+    # empty ARRAYS (rows exist, no tokens) degenerate the same way
+    no_toks = spark.createDataFrame(
+        [("a", []), ("b", [])], "doc_id string, tokens array<int>"
+    )
+    assert vocab_coverage(no_toks, cutoffs=(2,)).collect() == []
