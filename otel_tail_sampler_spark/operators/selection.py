@@ -33,9 +33,12 @@ a caller that wants sampled diversity can rank on
 ``ratio_fp``-weighted ``hash_frac`` keys instead.
 
 Scale shape (100 TB posture):
-* ``build_dsir_model`` — two map-side-combinable aggregations whose
-  output is bounded by ``n_buckets`` (default 2^16), NOT corpus size;
-  the explode is transient exactly as in ``build_bigram_model``.
+* ``build_dsir_model`` — output bounded by ``n_buckets`` (default
+  2^16), NOT corpus size. Default kernel: a bincount partial-aggregate
+  Arrow stage (each partition emits at most ``n_buckets`` partial
+  rows; the merge groupBy shuffles only those) — measured 2x the
+  ``kernel="jvm"`` explode + map-combinable agg witness at sf0.1,
+  whose interpreted ``zip_with`` bigram HOF dominates the DAG.
 * ``dsir_score`` — shuffle-free: the bucket model broadcasts as two
   dense numpy arrays (8 B * n_buckets each) into a batch-vectorized
   Arrow kernel (one concatenate + modulo + gather + reduceat per Arrow
@@ -65,18 +68,118 @@ def _bucket_expr(packed: Column, n_buckets: int) -> Column:
     return F.pmod(packed, F.lit(n_buckets)).cast("int")
 
 
+def _bucket_counts_arrow(
+    flagged: DataFrame, n_buckets: int, tok_col: str
+) -> DataFrame:
+    """Shared Arrow model-build kernel: input is (``_is_t`` boolean,
+    ``tok_col``); output (bucket int, t_freq bigint, r_freq bigint) with
+    ``r_freq`` counting EVERY row's bigrams and ``t_freq`` only the
+    flagged rows'. Per Arrow batch: one flat packed-pair stream
+    (``_batch_bigram_pairs``), a modulo, and two ``np.bincount`` calls —
+    the per-partition partial is a dense ``n_buckets`` accumulator, so
+    each partition emits at most ``n_buckets`` rows no matter how much
+    corpus it read, and the merging groupBy shuffles only those
+    (partitions x nonzero-buckets) partials. The corpus crosses the
+    socket once and the interpreted ``zip_with`` HOF of the JVM builder
+    (measured as the dominant cost of the whole selection DAG at sf0.1:
+    ~2.5 s of dsir_select's ~3.6 s) never runs."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    nb = int(n_buckets)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from otel_tail_sampler_spark.operators.corpus import (
+            _batch_bigram_pairs,
+        )
+
+        tcnt = np.zeros(nb, np.int64)
+        rcnt = np.zeros(nb, np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            arrs = [np.asarray(t, np.int64) for t in pdf[tok_col]]
+            lens = np.fromiter((a.size for a in arrs), np.int64, n)
+            if int(lens.sum()) < 2:
+                continue
+            pairs, cross, _starts, nz = _batch_bigram_pairs(arrs, lens)
+            bk = pairs % np.int64(nb)
+            # attribute each pair slot to the doc holding its FIRST
+            # token: doc i owns flat slots [cum[i-1], cum[i]) minus the
+            # final cross slot (masked below); the last doc has no
+            # trailing slot at all
+            counts = lens[nz].copy()
+            counts[-1] -= 1
+            is_t = pdf["_is_t"].to_numpy(bool)[nz]
+            tgt = np.repeat(is_t, counts)
+            keep = ~cross
+            rcnt += np.bincount(bk[keep], minlength=nb)
+            tcnt += np.bincount(bk[keep & tgt], minlength=nb)
+        hit = np.nonzero(rcnt | tcnt)[0]
+        if hit.size:
+            yield pd.DataFrame(
+                {
+                    "bucket": hit.astype(np.int32),
+                    "t_freq": tcnt[hit],
+                    "r_freq": rcnt[hit],
+                }
+            )
+
+    # NULL predicate -> not-target, matching the JVM witness's
+    # when(_is_t, 1).otherwise(0) (a None reaching np.repeat would raise)
+    partials = flagged.select(
+        F.coalesce(F.col("_is_t").cast("boolean"), F.lit(False)).alias(
+            "_is_t"
+        ),
+        F.col(tok_col),
+    ).mapInPandas(fn, "bucket int, t_freq long, r_freq long")
+    return partials.groupBy("bucket").agg(
+        F.sum("t_freq").cast("long").alias("t_freq"),
+        F.sum("r_freq").cast("long").alias("r_freq"),
+    )
+
+
 def build_dsir_model(
     target: DataFrame,
     raw: DataFrame,
     n_buckets: int = _DEFAULT_BUCKETS,
     tok_col: str = "tokens",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Hashed-bigram bucket counts for both corpora:
     -> (bucket int, t_freq bigint, r_freq bigint), one row per bucket
     observed in EITHER corpus (absent side 0). Output cardinality is
     bounded by ``n_buckets``; totals ``T = sum(t_freq)`` /
     ``R = sum(r_freq)`` are recoverable from the model itself, which is
-    how ``dsir_score`` avoids extra corpus passes."""
+    how ``dsir_score`` avoids extra corpus passes.
+
+    ``kernel="arrow"`` (default) runs the bincount partial-aggregate
+    kernel (see ``_bucket_counts_arrow``); ``kernel="jvm"`` is the
+    zero-Python explode + groupBy equality witness. The two corpora
+    union under a flag so the arrow path stays ONE pass; a target
+    document also present in ``raw`` is counted on both sides either
+    way."""
+    if kernel == "arrow":
+        flagged = target.select(
+            F.lit(True).alias("_is_t"), F.col(tok_col)
+        ).unionByName(
+            raw.select(F.lit(False).alias("_is_t"), F.col(tok_col))
+        )
+        counts = _bucket_counts_arrow(flagged, n_buckets, tok_col)
+        # the union double-counts nothing: t_freq comes from flagged
+        # rows only, r_freq needs the raw-side rows only
+        return counts.select(
+            "bucket",
+            "t_freq",
+            (F.col("r_freq") - F.col("t_freq")).alias("r_freq"),
+        ).where((F.col("t_freq") > 0) | (F.col("r_freq") > 0))
+    if kernel != "jvm":
+        raise ValueError(
+            f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
+        )
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -385,16 +488,30 @@ def build_dsir_model_partitioned(
     target_pred: Column,
     n_buckets: int = _DEFAULT_BUCKETS,
     tok_col: str = "tokens",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Single-pass ``build_dsir_model`` for the common case where the
     target corpus IS a slice of the raw corpus (a source/domain/label
-    predicate): one explode + one aggregation computes both sides
-    (``t_freq`` as a conditional sum), halving the corpus passes of the
-    two-DataFrame builder. Output is identical to
+    predicate): one corpus pass computes both sides (``t_freq`` as a
+    conditional count), halving the corpus passes of the two-DataFrame
+    builder. Output is identical to
     ``build_dsir_model(raw.filter(target_pred), raw, ...)`` minus the
     buckets only the target would contribute — impossible here, since
     the target is a subset. Equality is pinned in tests.
-    """
+
+    ``kernel="arrow"`` (default) is the bincount partial-aggregate
+    kernel of ``_bucket_counts_arrow``; ``kernel="jvm"`` keeps the
+    zero-Python explode + conditional-sum witness."""
+    if kernel == "arrow":
+        return _bucket_counts_arrow(
+            raw.select(target_pred.alias("_is_t"), F.col(tok_col)),
+            n_buckets,
+            tok_col,
+        )
+    if kernel != "jvm":
+        raise ValueError(
+            f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
+        )
     ex = raw.select(
         target_pred.alias("_is_t"),
         F.explode(_adjacent_bigrams(tok_col)).alias("_pk"),

@@ -213,3 +213,53 @@ def test_sample_saturation_survives_decimal_range(spark):
         ).collect()
     }
     assert got == {"a", "b", "c"}
+
+
+@pytest.mark.parametrize("build", ["two", "partitioned"])
+def test_model_builder_kernels_equal_on_edge_shapes(spark, build):
+    # r6: the arrow bincount builder vs the zero-Python explode witness,
+    # over the edge corpus (empty docs, single-token docs, negative ids,
+    # INT32_MIN boundary packs) — they share only the packing formula.
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model_partitioned,
+    )
+
+    df = _df(spark, VECS)
+    if build == "two":
+        target = df.filter(df.doc_id.isin(*TARGET_IDS))
+        a = build_dsir_model(target, df, n_buckets=32, kernel="arrow")
+        j = build_dsir_model(target, df, n_buckets=32, kernel="jvm")
+    else:
+        pred = F.col("doc_id").isin(*TARGET_IDS)
+        a = build_dsir_model_partitioned(
+            df, pred, n_buckets=32, kernel="arrow"
+        )
+        j = build_dsir_model_partitioned(
+            df, pred, n_buckets=32, kernel="jvm"
+        )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, j.collect())
+    )
+
+
+def test_model_builder_null_predicate_is_not_target(spark):
+    # NULL predicate rows count raw-only in BOTH kernels (the jvm
+    # witness's otherwise(0); the arrow path's coalesce-to-False)
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.operators.selection import (
+        build_dsir_model_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None, [1, 2]), ("b", "t", [1, 2])],
+        "doc_id string, lab string, tokens array<int>",
+    )
+    pred = F.when(F.col("lab").isNotNull(), F.col("lab") == "t")
+    for kern in ("arrow", "jvm"):
+        m = build_dsir_model_partitioned(
+            df, pred, n_buckets=16, kernel=kern
+        ).collect()
+        assert [(r["t_freq"], r["r_freq"]) for r in m] == [(1, 2)]
