@@ -1551,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # -- NEW this round (r6) are appended below this line and lead
         #    the r7 window per the contract --
+        "phash_pairs": q_phash_pairs,
+        "phash_groups": q_phash_groups,
     }
 
 
@@ -1850,6 +1852,46 @@ def q_multimodal_features(spark, sf_dir):
 
     ensure_media_truth(n=64, seed=42)  # oracle side reads this parquet
     return media_stats(synthetic_media(spark, n=64, seed=42))
+
+
+def q_phash_pairs(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs (r6): dHash over the REAL
+    PPM decode path, Manku-style banded Hamming index (tau=3 < 4 bands
+    -> EXACT recall by pigeonhole) over DISTINCT hash values. Oracle =
+    pre-encode scalar-reference hashes re-banded independently in
+    DuckDB bit-op SQL."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_phash_truth,
+        phash_images,
+        phash_pairs,
+        synthetic_media_neardup,
+    )
+
+    ensure_media_phash_truth(n_base=48, seed=7)
+    media = synthetic_media_neardup(spark, n_base=48, seed=7)
+    return phash_pairs(phash_images(media), tau=3, n_bands=4)
+
+
+def q_phash_groups(spark, sf_dir):
+    """Exact-duplicate image groups by identical dHash (the id-level
+    companion of phash_pairs' distinct-hash core): per-hash member
+    count + min-id representative."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_phash_truth,
+        phash_images,
+        synthetic_media_neardup,
+    )
+
+    ensure_media_phash_truth(n_base=48, seed=7)
+    media = synthetic_media_neardup(spark, n_base=48, seed=7)
+    return (
+        phash_images(media)
+        .groupBy("phash_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").alias("rep_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2284,10 +2326,15 @@ def q_ngram_counts(spark, sf_dir):
 def oracle_sql() -> dict[str, str]:
     from otel_tail_sampler_spark.operators.multimodal import ensure_media_truth
 
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_phash_truth,
+    )
+
     paths = _oracle_paths()
     sp = paths["oracle"]
     S = _summaries_cte(sp)
     media_truth = ensure_media_truth(n=64, seed=42)
+    phash_truth = ensure_media_phash_truth(n_base=48, seed=7)
 
     stop = {k: ", ".join(f"'{w}'" for w in v) for k, v in
             __import__("otel_tail_sampler_spark.operators.text", fromlist=["STOPWORDS"]).STOPWORDS.items()}
@@ -3541,6 +3588,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, width, height, n_frames, sample_rate,
                    n_samples, px_sum, px_min, px_max
             FROM '{media_truth}'
+        """,
+        # phash oracles read the PRE-ENCODE scalar-reference hashes and
+        # re-derive the banded pair index in DuckDB bit-op SQL (the
+        # arithmetic >> sign-extension is masked off, as on the Spark
+        # side) — decode/resize/bit-pack and the banding are both
+        # independently formulated.
+        "phash_pairs": f"""
+            WITH hv AS (SELECT DISTINCT phash_d FROM '{phash_truth}'),
+            bands AS (
+              SELECT phash_d, b,
+                     (phash_d >> (b * 16)) & 65535 AS key
+              FROM hv, (SELECT unnest([0, 1, 2, 3]) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT x.phash_d AS hash_a, y.phash_d AS hash_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.key = y.key
+               AND x.phash_d < y.phash_d
+            )
+            SELECT hash_a, hash_b,
+                   bit_count(xor(hash_a, hash_b))::INT AS hamming
+            FROM cand
+            WHERE bit_count(xor(hash_a, hash_b)) <= 3
+        """,
+        "phash_groups": f"""
+            SELECT phash_d, count(*)::BIGINT AS n_media,
+                   min(media_id) AS rep_id
+            FROM '{phash_truth}'
+            GROUP BY phash_d
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -428,3 +428,273 @@ def sample_frames(media: DataFrame, every_n: int = 2, real: bool = True) -> Data
                 )
 
     return media.mapInPandas(fn, FRAME_SAMPLE_DDL)
+
+
+# --- perceptual-hash near-dup (the image counterpart of MinHash) -------------
+#
+# dHash / aHash over the REAL PPM decode path, packed into one signed
+# int64 each, then banded Hamming-bucket candidate pairs in the style of
+# Manku et al., "Detecting Near-Duplicates for Web Crawling" (WWW 2007):
+# split the 64-bit fingerprint into ``n_bands`` equal bit-blocks; two
+# fingerprints within Hamming distance ``tau`` < ``n_bands`` must agree
+# on at least one whole block (pigeonhole), so the block-equality
+# self-join finds EVERY such pair — banding here is an exact index, not
+# an approximation. All integer bit-ops, shared bit-for-bit by Spark,
+# numpy, and DuckDB (arithmetic >> is masked back; packing wraps into
+# two's-complement int64 on every engine).
+
+PHASH_DDL = "media_id string, phash_d long, phash_a long"
+
+
+def _signed64(v: int) -> int:
+    """Two's-complement wrap of a 64-bit unsigned value into int64 — the
+    representation Spark/DuckDB BIGINT bit-ops operate on."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _phash_np(arr: np.ndarray) -> tuple[int, int]:
+    """Vectorized (dhash, ahash) of one decoded RGB image.
+
+    Grayscale is the EXACT integer channel sum r+g+b (0..765) — no
+    luma-weight rounding to diverge between engines. dHash: resize to
+    9x8 (nearest-neighbor pixel-center mapping, ``_resize_nearest``),
+    bit r*8+c set iff gray[r, c+1] > gray[r, c]. aHash: resize to 8x8,
+    bit set iff 64 * gray > sum(gray) (strict — division-free). Bit i
+    lands at int64 position i, LSB first."""
+    g9 = _resize_nearest(arr, 9, 8).astype(np.int64).sum(axis=2)
+    bits_d = (g9[:, 1:] > g9[:, :-1]).ravel()
+    g8 = _resize_nearest(arr, 8, 8).astype(np.int64).sum(axis=2)
+    bits_a = g8.ravel() * 64 > g8.sum()
+
+    def pack(bits: np.ndarray) -> int:
+        shifted = bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        return _signed64(int(np.bitwise_or.reduce(shifted)))
+
+    return pack(bits_d), pack(bits_a)
+
+
+def _phash_scalar(arr: np.ndarray) -> tuple[int, int]:
+    """Independent per-pixel scalar reference of ``_phash_np`` (loops, no
+    numpy reductions) — the truth generator uses THIS formulation so a
+    vectorization bug in the kernel cannot hash-match its own oracle
+    (the symmetric-bug rule)."""
+    h, w, _ = arr.shape
+
+    def gray_at(r: int, c: int, out_h: int, out_w: int) -> int:
+        yi = min(int((r + 0.5) * h / out_h), h - 1)
+        xi = min(int((c + 0.5) * w / out_w), w - 1)
+        px = arr[yi][xi]
+        return int(px[0]) + int(px[1]) + int(px[2])
+
+    d = 0
+    for r in range(8):
+        for c in range(8):
+            if gray_at(r, c + 1, 8, 9) > gray_at(r, c, 8, 9):
+                d |= 1 << (r * 8 + c)
+    g = [[gray_at(r, c, 8, 8) for c in range(8)] for r in range(8)]
+    total = sum(sum(row) for row in g)
+    a = 0
+    for r in range(8):
+        for c in range(8):
+            if g[r][c] * 64 > total:
+                a |= 1 << (r * 8 + c)
+    return _signed64(d), _signed64(a)
+
+
+def phash_images(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL kernel: decode PPM images, emit both perceptual hashes ->
+    (media_id, phash_d long, phash_a long). Non-image rows drop (hash a
+    video by composing ``sample_frames`` -> per-frame PPM upstream).
+    Arrow-batched; payloads never shuffle (narrow stage)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            if len(img) == 0:
+                continue
+            hashes = [_phash_np(decode_ppm(bytes(p))) for p in img["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": img[id_col],
+                    "phash_d": [d for d, _ in hashes],
+                    "phash_a": [a for _, a in hashes],
+                }
+            )
+
+    return media.mapInPandas(fn, PHASH_DDL)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    tau: int = 3,
+    n_bands: int = 4,
+    hash_col: str = "phash_d",
+) -> DataFrame:
+    """Near-duplicate pairs of DISTINCT hash values within Hamming
+    distance ``tau``: -> (hash_a, hash_b, hamming int), hash_a < hash_b.
+
+    EXACT (recall 1) because ``tau < n_bands`` is enforced: a pair
+    differing in <= tau bits leaves >= one of the ``n_bands`` bit-blocks
+    untouched (pigeonhole), and that block's equality key collides them.
+    Raises for tau >= n_bands rather than silently dropping pairs.
+
+    Scale shape: the self-join runs over DISTINCT hash values, not
+    media rows — an exact-duplicate flood of any size contributes ONE
+    row here (compose with the hash-groupBy in ``media_phash_neardup``
+    for id-level output), so the classic degenerate case costs nothing.
+    Only (band, key, hash) triples shuffle; candidate fan-out is
+    controlled by 2^(64/n_bands) buckets per band."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if not 0 <= tau < n_bands:
+        raise ValueError(
+            f"tau={tau} >= n_bands={n_bands} loses the pigeonhole "
+            "exactness guarantee — raise n_bands (bands of 64/n_bands "
+            "bits) so tau < n_bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    hv = hashes.select(F.col(hash_col).alias("_h")).distinct()
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("_h"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    br = hv.select("_h", bands.alias("bk")).select(
+        "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        br.select("band", "key", F.col("_h").alias("hash_a"))
+        .join(
+            br.select("band", "key", F.col("_h").alias("hash_b")),
+            ["band", "key"],
+        )
+        .where(F.col("hash_a") < F.col("hash_b"))
+        .select("hash_a", "hash_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= tau)
+    )
+
+
+def media_phash_neardup(
+    media: DataFrame,
+    tau: int = 3,
+    n_bands: int = 4,
+    hash_col: str = "phash_d",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Id-level near-duplicate components over the perceptual hash:
+    -> (media_id, component_id) where ``component_id`` is the smallest
+    media_id in the connected near-dup group (the representative to
+    keep; composes with ``apply_dedup`` exactly like the text dedups).
+
+    Edges never materialize per-pair over duplicates: identical-hash
+    groups contribute one edge per member to the group's min id (the
+    exact-dedup shape), and cross-hash edges ride ``phash_pairs``'s
+    distinct-hash pairs joined back through each hash's min-id
+    representative — so an n-member exact-dup flood costs n edge rows,
+    not n^2, and component connectivity is unchanged (every member is
+    glued to its representative)."""
+    from otel_tail_sampler_spark.operators.dedup import dedup_components
+
+    hashes = phash_images(media, id_col=id_col)
+    rep = hashes.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
+    within = hashes.join(rep, hash_col).select(
+        F.col(id_col).alias("id_a"), F.col("_rep").alias("id_b")
+    )
+    hp = phash_pairs(hashes, tau=tau, n_bands=n_bands, hash_col=hash_col)
+    ra = rep.select(
+        F.col(hash_col).alias("hash_a"), F.col("_rep").alias("id_a")
+    )
+    rb = rep.select(
+        F.col(hash_col).alias("hash_b"), F.col("_rep").alias("id_b")
+    )
+    cross = hp.join(ra, "hash_a").join(rb, "hash_b").select("id_a", "id_b")
+    return dedup_components(within.unionByName(cross), id_col=id_col)
+
+
+def _gen_neardup_arrays(n_base: int, seed: int) -> list:
+    """Deterministic raw image arrays WITH PLANTED NEAR-DUPLICATES: every
+    third base image gets a copy — an EXACT copy for every sixth, else a
+    copy with ONE dhash-grid-sampled pixel inverted. Nearest-neighbor
+    resize reads exactly one source pixel per grid cell, so inverting a
+    sampled pixel flips at most the two dhash comparisons that touch its
+    cell: planted pairs land at Hamming distance 0-2, inside any sane
+    tau. Shared by the media generator (encodes) and the truth generator
+    (scalar-hashes pre-encode) — the ARRAYS are the input contract; the
+    two hash computations stay independent."""
+    out = []
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.PCG64((seed << 21) + i))
+        w, h = 40 + 8 * (i % 3), 32 + 8 * (i % 2)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out.append((f"p-{i:04d}", arr))
+        if i % 3 == 0:
+            dup = arr.copy()
+            if i % 6 != 0:
+                r = int(rng.integers(0, 8))
+                c = int(rng.integers(0, 9))
+                yi = min(int((r + 0.5) * h / 8), h - 1)
+                xi = min(int((c + 0.5) * w / 9), w - 1)
+                dup[yi, xi] = 255 - dup[yi, xi]
+            out.append((f"p-{i:04d}-dup", dup))
+    return out
+
+
+def synthetic_media_neardup(
+    spark: SparkSession, n_base: int = 48, seed: int = 7
+) -> DataFrame:
+    """Images-only media table (MEDIA_SCHEMA) over the planted near-dup
+    arrays, PPM-encoded — the perceptual-hash test corpus."""
+    rows = [
+        (
+            mid,
+            "image",
+            bytearray(encode_ppm(arr)),
+            (arr.shape[1], arr.shape[0], 1, None, "ppm"),
+        )
+        for mid, arr in _gen_neardup_arrays(n_base, seed)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def ensure_media_phash_truth(n_base: int = 48, seed: int = 7) -> str:
+    """Write (once) the pre-encode perceptual-hash ground truth parquet
+    -> path. Hashes come from the SCALAR reference over the raw arrays
+    (before any PPM encode), so the DuckDB oracle checks the whole
+    Spark path — decode, resize, grayscale, bit-pack — against an
+    independent formulation."""
+    import os
+
+    from otel_tail_sampler_spark.sources.generator import DATA_ROOT
+
+    path = os.path.join(
+        DATA_ROOT, f"media_phash_truth_n{n_base}_s{seed}.parquet"
+    )
+    if not os.path.exists(path):
+        os.makedirs(DATA_ROOT, exist_ok=True)
+        rows = []
+        for mid, arr in _gen_neardup_arrays(n_base, seed):
+            d, a = _phash_scalar(arr)
+            rows.append((mid, d, a))
+        pdf = pd.DataFrame(rows, columns=["media_id", "phash_d", "phash_a"])
+        pdf["phash_d"] = pdf["phash_d"].astype("int64")
+        pdf["phash_a"] = pdf["phash_a"].astype("int64")
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
