@@ -1553,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the r7 window per the contract --
         "phash_pairs": q_phash_pairs,
         "phash_groups": q_phash_groups,
+        "audio_fingerprint": q_audio_fingerprint,
+        "video_frame_phash": q_video_frame_phash,
     }
 
 
@@ -2233,6 +2235,35 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """64-bit temporal energy fingerprint of REAL-decoded WAV audio
+    (r6): 65 integer sample windows, exact |x| energy sums, dHash-style
+    successor comparisons. Oracle = pre-encode scalar-reference
+    fingerprints of the same raw samples."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_fp_truth,
+        fingerprint_audio,
+        synthetic_media,
+    )
+
+    ensure_media_fp_truth(n=64, seed=42)
+    return fingerprint_audio(synthetic_media(spark, n=64, seed=42))
+
+
+def q_video_frame_phash(spark, sf_dir):
+    """Per-frame perceptual hashes of REAL-decoded VID0 video (r6):
+    every frame through the dHash/aHash kernel. Oracle = pre-encode
+    scalar-reference hashes of the raw frame arrays."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_fp_truth,
+        phash_video_frames,
+        synthetic_media,
+    )
+
+    ensure_media_fp_truth(n=64, seed=42)
+    return phash_video_frames(synthetic_media(spark, n=64, seed=42))
+
+
 def q_curriculum_order(spark, sf_dir):
     """Short-to-long curriculum: exact global rank + 4 equal-population
     phases by token length (md5 tie-break within a length) — the classic
@@ -2333,8 +2364,13 @@ def oracle_sql() -> dict[str, str]:
     paths = _oracle_paths()
     sp = paths["oracle"]
     S = _summaries_cte(sp)
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_fp_truth,
+    )
+
     media_truth = ensure_media_truth(n=64, seed=42)
     phash_truth = ensure_media_phash_truth(n_base=48, seed=7)
+    afp_truth, vframe_truth = ensure_media_fp_truth(n=64, seed=42)
 
     stop = {k: ", ".join(f"'{w}'" for w in v) for k, v in
             __import__("otel_tail_sampler_spark.operators.text", fromlist=["STOPWORDS"]).STOPWORDS.items()}
@@ -3617,6 +3653,14 @@ def oracle_sql() -> dict[str, str]:
                    min(media_id) AS rep_id
             FROM '{phash_truth}'
             GROUP BY phash_d
+        """,
+        "audio_fingerprint": f"""
+            SELECT media_id, afp FROM '{afp_truth}'
+        """,
+        "video_frame_phash": f"""
+            SELECT media_id, frame_idx::INT AS frame_idx,
+                   phash_d, phash_a
+            FROM '{vframe_truth}'
         """,
         "token_counts": f"""
             SELECT doc_id,

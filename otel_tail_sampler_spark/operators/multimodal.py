@@ -179,9 +179,10 @@ def _decoded_stats(kind: str, payload: bytes) -> dict:
 
 
 def _gen_one(i: int, seed: int) -> tuple:
-    """Deterministic (media_row, truth_row) pair. Truth stats are computed on
-    the RAW arrays before encoding — the decode stage must invert encode to
-    reproduce them."""
+    """Deterministic (media_row, truth_row, raw) triple. Truth stats are
+    computed on the RAW arrays before encoding — the decode stage must
+    invert encode to reproduce them; ``raw`` carries those arrays so the
+    fingerprint truth writers can scalar-hash them pre-encode too."""
     rng = np.random.Generator(np.random.PCG64((seed << 20) + i))
     kind = ["image", "audio", "video"][i % 3]
     mid = f"m-{i:04d}"
@@ -192,6 +193,7 @@ def _gen_one(i: int, seed: int) -> tuple:
         meta = (w, h, 1, None, "ppm")
         truth = (mid, kind, w, h, 1, None, int(arr.size),
                  int(arr.sum(dtype=np.int64)), int(arr.min()), int(arr.max()))
+        raw = arr
     elif kind == "audio":
         rate, n = 16000, 1000 + 100 * (i % 7)
         samples = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
@@ -200,6 +202,7 @@ def _gen_one(i: int, seed: int) -> tuple:
         truth = (mid, kind, None, None, None, rate, n,
                  int(samples.sum(dtype=np.int64)),
                  int(samples.min()), int(samples.max()))
+        raw = samples
     else:
         w, h, nf = 16, 12, 4 + i % 5
         frames = [
@@ -212,7 +215,8 @@ def _gen_one(i: int, seed: int) -> tuple:
         truth = (mid, kind, w, h, nf, None, int(stack.size),
                  int(stack.sum(dtype=np.int64)),
                  int(stack.min()), int(stack.max()))
-    return (mid, kind, bytearray(payload), meta), truth
+        raw = frames
+    return (mid, kind, bytearray(payload), meta), truth, raw
 
 
 def synthetic_media(
@@ -698,3 +702,145 @@ def ensure_media_phash_truth(n_base: int = 48, seed: int = 7) -> str:
         pdf.to_parquet(tmp, index=False)
         os.replace(tmp, path)
     return path
+
+
+# --- audio / video fingerprints (compose with phash_pairs' banded index) ------
+
+AUDIO_FP_DDL = "media_id string, afp long"
+VIDEO_PHASH_DDL = "media_id string, frame_idx int, phash_d long, phash_a long"
+
+
+def _audio_windows(n: int, k: int = 65):
+    """Integer window bounds: window w covers samples
+    [w*n // k, (w+1)*n // k) — exact, gap-free, engine-free arithmetic."""
+    return [(w * n // k, (w + 1) * n // k) for w in range(k)]
+
+
+def _audio_fp_np(samples: np.ndarray) -> int:
+    """Vectorized temporal energy fingerprint of PCM16 mono audio: 65
+    equal sample windows, exact int64 energy sum(|x|) per window, bit i
+    set iff energy[i+1] > energy[i] (the dHash idea on the time axis —
+    robust to gain-preserving edits, cheap, integer-exact)."""
+    n = int(samples.size)
+    bounds = np.array([w * n // 65 for w in range(66)], np.int64)
+    # zero sentinel keeps every start index in range AND absorbs the
+    # final reduceat segment's run-to-end (adds 0 to window 64)
+    mags = np.append(np.abs(samples.astype(np.int64)), 0)
+    e = np.add.reduceat(mags, bounds[:-1])
+    # reduceat quirk: an empty window [b, b) returns mags[b] (and every
+    # window is empty when n < 65) — force empties to 0 via the widths
+    widths = bounds[1:] - bounds[:-1]
+    e = np.where(widths > 0, e, 0)
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    return _signed64(int(np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))))
+
+
+def _audio_fp_scalar(samples) -> int:
+    """Independent per-sample scalar reference of ``_audio_fp_np``."""
+    n = len(samples)
+    e = []
+    for lo, hi in _audio_windows(n, 65):
+        e.append(sum(abs(int(s)) for s in samples[lo:hi]))
+    v = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            v |= 1 << i
+    return _signed64(v)
+
+
+def fingerprint_audio(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL kernel: decode WAV, emit the 64-bit temporal energy
+    fingerprint -> (media_id, afp long). Non-audio rows drop. Near-dup
+    audio = ``phash_pairs(fps, hash_col='afp')`` — the banded Hamming
+    index is fingerprint-agnostic."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aud = pdf[pdf["kind"] == "audio"]
+            if len(aud) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": aud[id_col],
+                    "afp": [
+                        _audio_fp_np(decode_wav(bytes(p))[0])
+                        for p in aud["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(fn, AUDIO_FP_DDL)
+
+
+def phash_video_frames(
+    media: DataFrame, every_n: int = 1, id_col: str = "media_id"
+) -> DataFrame:
+    """REAL kernel: decode the VID0 container, perceptual-hash every
+    ``every_n``-th frame -> (media_id, frame_idx, phash_d, phash_a).
+    Near-dup videos are frame-hash joins (any-frame or all-frame match,
+    caller's policy) through the same ``phash_pairs`` index; payloads
+    fan out to per-frame hashes inside the task and never shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vid = pdf[pdf["kind"] == "video"]
+            ids, idxs, ds, as_ = [], [], [], []
+            for mid, payload in zip(vid[id_col], vid["payload"]):
+                frames = decode_video(bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    d, a = _phash_np(frames[fi])
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ds.append(d)
+                    as_.append(a)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": idxs,
+                        "phash_d": ds,
+                        "phash_a": as_,
+                    }
+                )
+
+    return media.mapInPandas(fn, VIDEO_PHASH_DDL)
+
+
+def ensure_media_fp_truth(n: int = 64, seed: int = 42) -> tuple[str, str]:
+    """Write (once) the PRE-ENCODE fingerprint ground truth for the
+    standard synthetic media table -> (audio_path, video_path):
+    audio (media_id, afp) via the scalar reference over the raw int16
+    samples; video (media_id, frame_idx, phash_d, phash_a) via the
+    scalar perceptual-hash reference over the raw frame arrays."""
+    import os
+
+    from otel_tail_sampler_spark.sources.generator import DATA_ROOT
+
+    apath = os.path.join(DATA_ROOT, f"media_afp_truth_n{n}_s{seed}.parquet")
+    vpath = os.path.join(
+        DATA_ROOT, f"media_vframe_truth_n{n}_s{seed}.parquet"
+    )
+    if not (os.path.exists(apath) and os.path.exists(vpath)):
+        os.makedirs(DATA_ROOT, exist_ok=True)
+        arows, vrows = [], []
+        for i in range(n):
+            (mid, kind, _payload, _meta), _truth, raw = _gen_one(i, seed)
+            if kind == "audio":
+                arows.append((mid, _audio_fp_scalar(raw)))
+            elif kind == "video":
+                for fi, fr in enumerate(raw):
+                    d, a = _phash_scalar(fr)
+                    vrows.append((mid, fi, d, a))
+        apdf = pd.DataFrame(arows, columns=["media_id", "afp"])
+        apdf["afp"] = apdf["afp"].astype("int64")
+        vpdf = pd.DataFrame(
+            vrows, columns=["media_id", "frame_idx", "phash_d", "phash_a"]
+        )
+        vpdf["frame_idx"] = vpdf["frame_idx"].astype("int32")
+        for c in ("phash_d", "phash_a"):
+            vpdf[c] = vpdf[c].astype("int64")
+        for pdf_, path in ((apdf, apath), (vpdf, vpath)):
+            tmp = path + ".tmp"
+            pdf_.to_parquet(tmp, index=False)
+            os.replace(tmp, path)
+    return apath, vpath

@@ -220,7 +220,7 @@ def test_subrange_rank_matches_scalar_order(spark, rows, reset, use_value):
     df = spark.createDataFrame(
         rows, "doc_id string, grp int, val int"
     )
-    ranked, got_total = _subrange_rank(
+    ranked, got_total, _gt = _subrange_rank(
         df,
         "grp",
         "doc_id",

@@ -135,3 +135,74 @@ def test_exact_dup_flood_stays_distinct_hash_sized(spark):
         for r in media_phash_neardup(media, tau=3, n_bands=4).collect()
     }
     assert {comp[f"f-{i:03d}"] for i in range(100)} == {"f-000"}
+
+
+def test_audio_fp_kernel_matches_scalar_reference():
+    from otel_tail_sampler_spark.operators.multimodal import (
+        _audio_fp_np,
+        _audio_fp_scalar,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for n in (0, 1, 64, 65, 66, 130, 1000):
+        s = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+        assert _audio_fp_np(s) == _audio_fp_scalar(s), n
+    # INT16_MIN magnitudes must not wrap
+    s = np.full(130, -(2**15), np.int16)
+    assert _audio_fp_np(s) == _audio_fp_scalar(s) == 0  # equal energies
+
+
+def test_av_fingerprints_match_preencode_truth(spark):
+    from otel_tail_sampler_spark.operators.multimodal import (
+        _audio_fp_scalar,
+        _gen_one,
+        fingerprint_audio,
+        phash_video_frames,
+        synthetic_media,
+        _phash_scalar,
+    )
+
+    media = synthetic_media(spark, n=12, seed=42)
+    got_a = {
+        r["media_id"]: r["afp"] for r in fingerprint_audio(media).collect()
+    }
+    got_v = {
+        (r["media_id"], r["frame_idx"]): (r["phash_d"], r["phash_a"])
+        for r in phash_video_frames(media).collect()
+    }
+    want_a, want_v = {}, {}
+    for i in range(12):
+        (mid, kind, _p, _m), _t, raw = _gen_one(i, 42)
+        if kind == "audio":
+            want_a[mid] = _audio_fp_scalar(raw)
+        elif kind == "video":
+            for fi, fr in enumerate(raw):
+                want_v[(mid, fi)] = _phash_scalar(fr)
+    assert got_a == want_a and want_a
+    assert got_v == want_v and want_v
+
+
+def test_audio_neardup_composes_with_phash_pairs(spark):
+    # a clip and a copy with ONE window's energy boosted: the banded
+    # index (hash_col='afp') must pair them at small hamming
+    from otel_tail_sampler_spark.operators.multimodal import (
+        encode_wav,
+        fingerprint_audio,
+        phash_pairs,
+        MEDIA_SCHEMA,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.integers(-1000, 1000, size=650).astype(np.int16)
+    dup = base.copy()
+    dup[10 * 10 : 11 * 10] = 30000  # window 10 saturates: flips bits 9+10
+    rows = [
+        ("a-base", "audio", bytearray(encode_wav(base, 16000)),
+         (None, None, None, 16000, "pcm16")),
+        ("a-dup", "audio", bytearray(encode_wav(dup, 16000)),
+         (None, None, None, 16000, "pcm16")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = fingerprint_audio(media)
+    pairs = phash_pairs(fps, tau=3, n_bands=4, hash_col="afp").collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 3
