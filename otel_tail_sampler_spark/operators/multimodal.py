@@ -547,7 +547,12 @@ def phash_pairs(
     row here (compose with the hash-groupBy in ``media_phash_neardup``
     for id-level output), so the classic degenerate case costs nothing.
     Only (band, key, hash) triples shuffle; candidate fan-out is
-    controlled by 2^(64/n_bands) buckets per band."""
+    controlled by 2^(64/n_bands) buckets per band. The self-join
+    re-evaluates the ``hashes`` lineage on both sides — when the hash
+    column comes straight off an expensive decode kernel, persist (or
+    materialize) the slim hash table first; the verify itself rides the
+    join condition (Catalyst pushes ``bit_count <= tau`` into the
+    SortMergeJoin, see PLANS.md)."""
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     if not 0 <= tau < n_bands:
