@@ -150,13 +150,45 @@ def test_bm25_hot_query_topk_is_group_limited(spark):
 
 
 def test_bm25_corpus_side_never_sort_merge_joins(spark, corpus, queries):
-    # query terms broadcast; the corpus explode must hit a broadcast semi
-    # probe, never a corpus-wide SortMergeJoin
+    # jvm witness: query terms broadcast; the corpus explode must hit a
+    # broadcast semi probe, never a corpus-wide SortMergeJoin
     plan = (
-        bm25_topk(corpus, queries, k=3)
+        bm25_topk(corpus, queries, k=3, kernel="jvm")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # arrow path (default): NO joins and NO aggregation above the
+    # scoring kernel — candidates go straight into the bounded window
+    plan_a = (
+        bm25_topk(corpus, queries, k=3, kernel="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan_a
+    assert "MapInPandas" in plan_a and "HashAggregate" not in plan_a
+
+
+def test_bm25_kernels_equal(spark, corpus, queries):
+    # r6: the arrow matched-tf bincount kernel vs the zero-Python
+    # explode witness — full (score, rank) equality, plus edge shapes
+    # (empty doc, no-match doc, duplicated tokens) via the shared corpus
+    a = {
+        (r["query_id"], r["doc_id"]): (r["score_fp"], r["rank"])
+        for r in bm25_topk(corpus, queries, k=5, kernel="arrow").collect()
+    }
+    j = {
+        (r["query_id"], r["doc_id"]): (r["score_fp"], r["rank"])
+        for r in bm25_topk(corpus, queries, k=5, kernel="jvm").collect()
+    }
+    assert a == j and a
+
+
+def test_bm25_arrow_kernel_no_query_terms(spark, corpus):
+    qs = spark.createDataFrame(
+        [("qe", [])], "query_id string, tokens array<int>"
+    )
+    assert bm25_topk(corpus, qs, k=3, kernel="arrow").count() == 0
