@@ -496,6 +496,10 @@ def _adjacent_bigrams(tok_col: str):
     packing formula is single-sourced (a formula divergence between
     build and score would silently zero every hit).
 
+    Retained as the array-expression form of the pack formula (the
+    explode call sites now ride ``_exploded_bigrams``' codegen
+    zip-explode-pack — HOF lambdas run interpreted per element).
+
     Packing: t1 * 2^32 + (t2 & 0xFFFFFFFF) — signed high word, UNSIGNED
     low word. The unshifted t1*2^32 + t2 overflows at t1 = INT32_MIN
     with t2 < 0 (ANSI Spark raises where numpy wraps: engines diverge),
@@ -515,6 +519,34 @@ def _adjacent_bigrams(tok_col: str):
             + b.cast("bigint").bitwiseAND(F.lit(4294967295)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _exploded_bigrams(
+    df: DataFrame, tok_col: str, extras=(), pair_name: str = "bigram"
+) -> DataFrame:
+    """One row per adjacent bigram, WHOLE-STAGE CODEGEN: zip the two
+    shifted slices with ``arrays_zip`` (a plain expression), explode the
+    struct stream, and apply the pack arithmetic POST-explode — the
+    same ``t1 * 2^32 + (t2 & 0xFFFFFFFF)`` formula as
+    ``_adjacent_bigrams`` (whose zip_with lambda runs INTERPRETED per
+    element — measured 2x slower on the ngram/DSIR shapes at sf0.1),
+    with the same bitwiseAND reassociation guard. ``extras`` is a
+    sequence of (Column, alias) carried through the explode (e.g. the
+    doc id, a target flag). Single-token/empty docs drop (no pairs), as
+    explode of the empty array would."""
+    m = F.size(tok_col) - 1
+    z = F.arrays_zip(
+        F.slice(F.col(tok_col), 1, m), F.slice(F.col(tok_col), 2, m)
+    )
+    names = [a for _, a in extras]
+    ex = (
+        df.where(F.size(tok_col) >= 2)
+        .select(*[c.alias(a) for c, a in extras], F.explode(z).alias("_zz"))
+    )
+    pk = F.col("_zz")["0"].cast("bigint") * F.lit(4294967296) + F.col(
+        "_zz"
+    )["1"].cast("bigint").bitwiseAND(F.lit(4294967295))
+    return ex.select(*[F.col(a) for a in names], pk.alias(pair_name))
 
 
 def build_bigram_model(
@@ -547,9 +579,8 @@ def build_bigram_model(
     sort-limit runs over the aggregated model candidates (TakeOrdered, no
     full sort at scale).
     """
-    pairs = _adjacent_bigrams(tok_col)
     return (
-        df.select(F.explode(pairs).alias("bigram"))
+        _exploded_bigrams(df, tok_col)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
@@ -583,7 +614,7 @@ def score_bigram_novelty(
     batch-vectorized searchsorted probe per Arrow batch; the corpus
     crosses the JVM<->Python socket but never shuffles.
     ``kernel="jvm"``: explode the packed bigram stream (the SAME
-    ``_adjacent_bigrams`` expression the build uses),
+    ``_exploded_bigrams`` pack formula the build uses),
     broadcast-hash-join the cap-bounded model, aggregate per document —
     zero Python, but the explode materializes one row per adjacent pair
     through the join. A/B at sf0.1 (600k docs, min-of-5 full query):
@@ -598,8 +629,8 @@ def score_bigram_novelty(
     input.
     """
     if kernel == "jvm":
-        ex = df.select(
-            F.col(id_col), F.explode(_adjacent_bigrams(tok_col)).alias("bigram")
+        ex = _exploded_bigrams(
+            df, tok_col, extras=((F.col(id_col), id_col),)
         )
         agg = (
             ex.join(F.broadcast(model.select("bigram", "freq")), "bigram", "left")

@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .corpus import _adjacent_bigrams
+from .corpus import _exploded_bigrams
 
 _DEFAULT_BUCKETS = 1 << 16
 
@@ -183,9 +183,7 @@ def build_dsir_model(
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(
-                F.explode(_adjacent_bigrams(tok_col)).alias("_pk")
-            )
+            _exploded_bigrams(df, tok_col, pair_name="_pk")
             .select(_bucket_expr(F.col("_pk"), n_buckets).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(name))
@@ -250,9 +248,8 @@ def dsir_score(
             F.sum("t_freq").alias("t"), F.sum("r_freq").alias("r")
         ).first()
         t_total, r_total = int(totals["t"] or 0), int(totals["r"] or 0)
-        ex = df.select(
-            F.col(id_col),
-            F.explode(_adjacent_bigrams(tok_col)).alias("_pk"),
+        ex = _exploded_bigrams(
+            df, tok_col, extras=((F.col(id_col), id_col),), pair_name="_pk"
         ).select(
             id_col, _bucket_expr(F.col("_pk"), n_buckets).alias("bucket")
         )
@@ -512,9 +509,8 @@ def build_dsir_model_partitioned(
         raise ValueError(
             f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
         )
-    ex = raw.select(
-        target_pred.alias("_is_t"),
-        F.explode(_adjacent_bigrams(tok_col)).alias("_pk"),
+    ex = _exploded_bigrams(
+        raw, tok_col, extras=((target_pred, "_is_t"),), pair_name="_pk"
     ).select("_is_t", _bucket_expr(F.col("_pk"), n_buckets).alias("bucket"))
     return ex.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
