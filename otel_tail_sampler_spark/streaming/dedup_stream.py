@@ -135,3 +135,41 @@ def dedup_stream(
             "ProcessingTimeTimeout" if ttl_minutes is not None else "NoTimeout"
         ),
     )
+
+
+def media_dedup_stream(
+    media: DataFrame,
+    ttl_minutes: int | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """First-wins streaming PERCEPTUAL dedup of image payloads: each
+    micro-batch's images decode through the stateless ``phash_images``
+    kernel (mapInPandas is streaming-legal), and the one first-wins/TTL
+    state machine above keys on the dHash — the streaming analog of
+    ``media_phash_neardup``'s identical-hash groups (tau = 0;
+    beyond-hamming-0 near-dup pairing stays a batch job over the
+    emitted representatives, exactly as the batch operator documents).
+    Byte-DIFFERENT re-encodes of the same picture share a dHash and
+    drop — the case a content-digest dedup stream cannot catch. State
+    holds one tiny row per DISTINCT perceptual hash; payload bytes
+    never enter the state store.
+
+    -> (digest = phash_d as string, media_id, phash_d, phash_a,
+    dup_count) — one row per NEW perceptual hash.
+    """
+    from otel_tail_sampler_spark.operators.multimodal import phash_images
+
+    hashed = phash_images(media, id_col=id_col)
+    keyed = hashed.select(
+        F.col("phash_d").cast("string").alias("_pd"),
+        F.col("media_id"),
+        F.col("phash_d"),
+        F.col("phash_a"),
+    )
+    return dedup_stream(
+        keyed,
+        id_col="media_id",
+        digest_col="_pd",
+        ttl_minutes=ttl_minutes,
+        payload_cols=("phash_d", "phash_a"),
+    ).withColumnRenamed("doc_id", "media_id")
