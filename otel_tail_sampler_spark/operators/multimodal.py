@@ -620,7 +620,12 @@ def media_phash_neardup(
     glued to its representative)."""
     from otel_tail_sampler_spark.operators.dedup import dedup_components
 
-    hashes = phash_images(media, id_col=id_col)
+    # the slim hash table feeds THREE subtrees (rep election, the band
+    # self-join's two sides); an eager localCheckpoint decodes each
+    # payload exactly once instead of re-running the kernel per subtree
+    # (the phash_pairs docstring's persist lever, applied here because
+    # this composition owns the lineage)
+    hashes = phash_images(media, id_col=id_col).localCheckpoint(eager=True)
     rep = hashes.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
     within = hashes.join(rep, hash_col).select(
         F.col(id_col).alias("id_a"), F.col("_rep").alias("id_b")
