@@ -295,7 +295,7 @@ def _bm25_topk_arrow(
                 sc = np.add.reduceat(np.where(sel, w, 0), starts)
                 has = hits > 0
                 sc, dcs = sc[has], docs[has]
-                if sc.size > k:
+                if sc.size > k > 0:  # k <= 0: emit-all, window empties
                     # candidate cut by SCORE only (ties all kept), so
                     # the final exact window never misses a tied doc
                     kth = np.partition(sc, sc.size - k)[sc.size - k]

@@ -192,3 +192,8 @@ def test_bm25_arrow_kernel_no_query_terms(spark, corpus):
         [("qe", [])], "query_id string, tokens array<int>"
     )
     assert bm25_topk(corpus, qs, k=3, kernel="arrow").count() == 0
+
+
+def test_bm25_k_zero_is_empty_both_kernels(spark, corpus, queries):
+    for kern in ("arrow", "jvm"):
+        assert bm25_topk(corpus, queries, k=0, kernel=kern).count() == 0
