@@ -1555,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_groups": q_phash_groups,
         "audio_fingerprint": q_audio_fingerprint,
         "video_frame_phash": q_video_frame_phash,
+        "corpus_dedup_exact": q_corpus_dedup_exact,
+        "corpus_dedup_minhash": q_corpus_dedup_minhash,
     }
 
 
@@ -2235,6 +2237,53 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
 
 
+def q_corpus_dedup_exact(spark, sf_dir):
+    """Incremental ingestion, exact flavor (r6): which NEW-batch docs
+    already exist in the standing corpus? ref = even doc_ids; new = odd
+    doc_ids with every doc_id % 10 == 1 text DETERMINISTICALLY replaced
+    by its even predecessor's text (planted in BOTH engines — the
+    random corpus has no natural cross-split exact dups). The ref side
+    aggregates to one (digest, min-id, copies) row per distinct text."""
+    from otel_tail_sampler_spark.operators.dedup import reference_dup_pairs
+
+    d = _docs(spark, sf_dir)
+    even = d.where(d.doc_id % 2 == 0)
+    prev = even.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_pt")
+    )
+    new = (
+        d.where(d.doc_id % 2 == 1)
+        .join(prev, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 10 == 1) & F.col("_pt").isNotNull(),
+                F.col("_pt"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_pt")
+    )
+    return reference_dup_pairs(new, even, method="exact")
+
+
+def q_corpus_dedup_minhash(spark, sf_dir):
+    """Incremental ingestion, near-dup flavor (r6): banded-MinHash
+    candidates of the odd-id NEW batch against the even-id standing
+    corpus (cross pairs only — never new x new or ref x ref), with
+    n_agree = equal signature components (the Jaccard estimate a
+    min_agree verification bar thresholds on)."""
+    from otel_tail_sampler_spark.operators.dedup import reference_dup_pairs
+
+    d = _docs(spark, sf_dir)
+    return reference_dup_pairs(
+        d.where(d.doc_id % 2 == 1),
+        d.where(d.doc_id % 2 == 0),
+        method="minhash",
+        num_hashes=12,
+        bands=6,
+    )
+
+
 def q_audio_fingerprint(spark, sf_dir):
     """64-bit temporal energy fingerprint of REAL-decoded WAV audio
     (r6): 65 integer sample windows, exact |x| energy sums, dHash-style
@@ -2441,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
     band_keys = ", ".join(
         f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS band{b}" for b in range(6)
     )
+    agree12 = " + ".join(f"(sn.h{i} = sr.h{i})::INT" for i in range(12))
     lsh_ctes = f"""sh AS (
               SELECT doc_id, {_shingle_sql(3)} AS shingles
               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
@@ -3656,6 +3706,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_fingerprint": f"""
             SELECT media_id, afp FROM '{afp_truth}'
+        """,
+        "corpus_dedup_exact": """
+            WITH even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            newd AS (
+              SELECT o.doc_id,
+                     CASE WHEN o.doc_id % 10 = 1 AND p.text IS NOT NULL
+                          THEN p.text ELSE o.text END AS text
+              FROM documents o LEFT JOIN even p ON p.doc_id = o.doc_id - 1
+              WHERE o.doc_id % 2 = 1
+            ),
+            rd AS (
+              SELECT md5(text) AS dg, min(doc_id) AS id_ref,
+                     count(*)::BIGINT AS n_ref_copies
+              FROM even GROUP BY 1
+            )
+            SELECT n.doc_id AS id_new, rd.id_ref, rd.n_ref_copies
+            FROM (SELECT doc_id, md5(text) AS dg FROM newd) n
+            JOIN rd USING (dg)
+        """,
+        "corpus_dedup_minhash": f"""
+            WITH {lsh_ctes},
+            cand AS (
+              SELECT n.doc_id AS id_new, r.doc_id AS id_ref,
+                     count(*)::INT AS n_bands_shared
+              FROM long n JOIN long r
+                ON n.band = r.band AND n.key = r.key
+               AND n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+              GROUP BY 1, 2
+            )
+            SELECT c.id_new, c.id_ref, c.n_bands_shared,
+                   ({agree12})::INT AS n_agree
+            FROM cand c
+            JOIN sigs sn ON sn.doc_id = c.id_new
+            JOIN sigs sr ON sr.doc_id = c.id_ref
         """,
         "video_frame_phash": f"""
             SELECT media_id, frame_idx::INT AS frame_idx,

@@ -1056,3 +1056,149 @@ def dedup_cluster_stats(
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+# --- incremental (cross-corpus) dedup ----------------------------------------
+
+
+def reference_dup_pairs(
+    new: DataFrame,
+    ref: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """Duplicates of a NEW batch against an EXISTING reference corpus —
+    the incremental-ingestion question ("which of this crawl's documents
+    do we already have?"), the tokens-tier analog of the reference
+    engine's exported-manifest dedup (the anti-join S11 answers for
+    spans; evaluator.rs:358-401). -> (id_new, id_ref, ...evidence):
+
+    * ``method="exact"``: identical text. The ref side aggregates to ONE
+      (digest, min-id) row per DISTINCT text before the join, so a
+      reference containing millions of copies of a boilerplate page
+      contributes one row, and each new duplicate emits exactly one pair
+      (evidence column ``n_ref_copies``). Text never shuffles — digests
+      do.
+    * ``method="minhash"``: banded-MinHash near-dup candidates across
+      the two corpora (same banding as :func:`minhash_lsh_pairs`, ref
+      signatures vs new signatures — never new x new or ref x ref
+      pairs). Evidence: ``n_bands_shared`` plus ``n_agree``, the count
+      of equal signature components (an unbiased Jaccard estimate in
+      [0, num_hashes]); pass ``min_agree`` to verify candidates at a
+      similarity bar. Re-ingesting a standing corpus's signatures each
+      batch is wasteful at scale — materialize
+      :func:`minhash_signatures_agg` over the reference once and join
+      new batches against it (this function recomputes both sides, the
+      one-shot shape).
+    """
+    if method == "exact":
+        rd = (
+            ref.select(F.md5(F.col(text_col)).alias("_digest"), F.col(id_col))
+            .groupBy("_digest")
+            .agg(
+                F.min(id_col).alias("id_ref"),
+                F.count(F.lit(1)).cast("long").alias("n_ref_copies"),
+            )
+        )
+        nd = new.select(
+            F.col(id_col).alias("id_new"),
+            F.md5(F.col(text_col)).alias("_digest"),
+        )
+        return nd.join(rd, "_digest").select(
+            "id_new", "id_ref", "n_ref_copies"
+        )
+    if method != "minhash":
+        raise ValueError(
+            f"unknown method: {method!r} (want 'exact' or 'minhash')"
+        )
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def sides(docs: DataFrame, tag: str):
+        # one PACKED signature string rides the band explosion instead
+        # of num_hashes separate columns (slimmer shuffle rows); the
+        # component-wise compare happens post-aggregation over the small
+        # candidate set, where an interpreted HOF costs nothing
+        sig = minhash_signatures_agg(
+            docs, text_col, id_col, shingle_n, num_hashes
+        )
+        return sig.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.concat_ws(
+                ",", *[F.col(f"h{i}") for i in range(num_hashes)]
+            ).alias(f"sig_{tag}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"h{b * r + j}")
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"id_{tag}",
+            f"sig_{tag}",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+
+    n_side = sides(new, "new")
+    r_side = sides(ref, "ref")
+    cand = (
+        n_side.join(r_side, ["band", "key"])
+        .groupBy("id_new", "id_ref")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands_shared"),
+            F.min("sig_new").alias("_sn"),  # constant within the group
+            F.min("sig_ref").alias("_sr"),
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.split(F.col("_sn"), ","),
+            F.split(F.col("_sr"), ","),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    out = cand.withColumn("n_agree", agree).drop("_sn", "_sr")
+    if min_agree is not None:
+        out = out.filter(F.col("n_agree") >= int(min_agree))
+    return out
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    ref: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """The APPLY side of :func:`reference_dup_pairs`: the surviving rows
+    of ``new`` (all original columns) after dropping every document with
+    a match in ``ref``. The anti-join runs against the DISTINCT matched
+    new-ids — bounded by the duplicate count, broadcastable when dups
+    are rare (the common incremental case)."""
+    pairs = reference_dup_pairs(
+        new, ref, method=method, text_col=text_col, id_col=id_col, **kw
+    )
+    dropped = pairs.select(F.col("id_new").alias(id_col)).distinct()
+    return new.join(dropped, id_col, "anti")

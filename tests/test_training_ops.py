@@ -1715,3 +1715,76 @@ def test_vocab_coverage_empty_corpus_emits_no_rows(spark):
         [("a", []), ("b", [])], "doc_id string, tokens array<int>"
     )
     assert vocab_coverage(no_toks, cutoffs=(2,)).collect() == []
+
+
+# --- incremental (cross-corpus) dedup — r6 ---------------------------------
+
+
+def test_reference_dup_pairs_exact_and_apply(spark, docs):
+    base = docs.limit(12).cache()
+    # ref = base plus TWO extra copies of base[0]'s text (n_ref_copies=3)
+    extra = base.limit(1).withColumn("doc_id", F.col("doc_id") + 7000)
+    extra2 = base.limit(1).withColumn("doc_id", F.col("doc_id") + 8000)
+    ref = base.unionByName(extra).unionByName(extra2)
+    # new = 4 docs duplicating ref texts (shifted ids) + 2 fresh docs
+    dup_new = base.limit(4).withColumn("doc_id", F.col("doc_id") + 5000)
+    fresh = spark.createDataFrame(
+        [(9001, "totally novel text one x", "en", "svc-99", 24),
+         (9002, "another unseen document y", "en", "svc-99", 25)],
+        base.schema.simpleString().replace("struct<", "").rstrip(">")
+        .replace(":", " "),
+    )
+    new = dup_new.unionByName(fresh)
+    pairs = {
+        r["id_new"]: (r["id_ref"], r["n_ref_copies"])
+        for r in D.reference_dup_pairs(new, ref, method="exact").collect()
+    }
+    base_ids = [r["doc_id"] for r in base.limit(4).collect()]
+    # every planted dup matches its ORIGINAL (min) ref id
+    for bid in base_ids:
+        assert pairs[bid + 5000][0] == bid
+    assert pairs[base_ids[0] + 5000][1] == 3  # the tripled text
+    assert len(pairs) == 4  # fresh docs match nothing
+    kept = D.dedup_against_corpus(new, ref, method="exact")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [9001, 9002]
+
+
+def test_reference_dup_pairs_minhash_cross_only(spark, docs):
+    # near-dups planted ACROSS the split only; pairs must be new x ref —
+    # never new x new or ref x ref (ref contains two identical texts
+    # that must NOT pair with each other)
+    pdf = docs.limit(20).toPandas()
+    ref = pdf.iloc[:10].copy()
+    twin = ref.iloc[:1].copy()
+    twin["doc_id"] += 7000  # ref-internal exact dup
+    ref = pd.concat([ref, twin])
+    near = ref.iloc[:3].copy()
+    near["doc_id"] += 5000
+    near["text"] = near["text"].str.replace(" the ", " zzz ", n=1, regex=False)
+    new = pd.concat([near, pdf.iloc[10:]])
+    new_df = spark.createDataFrame(new)
+    ref_df = spark.createDataFrame(ref)
+    out = D.reference_dup_pairs(
+        new_df, ref_df, method="minhash", num_hashes=12, bands=6
+    ).collect()
+    new_ids = set(new["doc_id"])
+    ref_ids = set(ref["doc_id"])
+    for r in out:
+        assert r["id_new"] in new_ids and r["id_ref"] in ref_ids
+        assert 0 <= r["n_agree"] <= 12
+        assert 1 <= r["n_bands_shared"] <= 6
+    planted = {int(i) for i in near["doc_id"]}
+    got_new = {r["id_new"] for r in out}
+    assert planted <= got_new
+    # verification bar: planted near-dups agree on most components;
+    # min_agree high enough keeps them and drops accidental collisions
+    strict = D.reference_dup_pairs(
+        new_df, ref_df, method="minhash", num_hashes=12, bands=6,
+        min_agree=8,
+    ).collect()
+    assert planted <= {r["id_new"] for r in strict}
+    kept = D.dedup_against_corpus(
+        new_df, ref_df, method="minhash", num_hashes=12, bands=6,
+        min_agree=8,
+    )
+    assert planted.isdisjoint({r["doc_id"] for r in kept.collect()})
