@@ -40,6 +40,7 @@ def dedup_stream(
     ttl_minutes: int | None = None,
     digest_col: str | None = None,
     payload_cols: tuple[str, ...] = (),
+    ref_digests: DataFrame | None = None,
 ) -> DataFrame:
     """First-wins streaming dedup -> (digest, doc_id, *payload_cols,
     dup_count): one row per NEW digest, emitted in the micro-batch where
@@ -56,7 +57,12 @@ def dedup_stream(
     (the streaming prep leg keys on the digest it took before
     tokenizing). ``payload_cols`` ride the ELECTED row through to the
     output (state still holds only first_id — payload never enters the
-    state store). There is exactly ONE copy of this first-wins/TTL state
+    state store). ``ref_digests`` (a STATIC one-``digest``-column batch
+    DataFrame over the standing corpus) drops already-known texts via a
+    stream-static anti join BEFORE the state machine — the streaming
+    face of ``reference_dup_pairs``: known texts neither emit nor cost
+    a state row, so state is bounded by the stream's novelty, not the
+    corpus. There is exactly ONE copy of this first-wins/TTL state
     machine; wrappers parameterize it rather than re-implement it.
 
     CHECKPOINT COMPATIBILITY: the state row schema is ``(first_id,)``
@@ -87,6 +93,20 @@ def dedup_stream(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in payload_cols],
     )
+    if ref_digests is not None:
+        # standing-corpus awareness (the incremental-ingestion case the
+        # batch reference_dup_pairs answers): a stream-STATIC left-anti
+        # join drops every digest the existing corpus already holds
+        # BEFORE the state machine, so known texts neither emit on first
+        # arrival nor cost a state row — state stays bounded by the
+        # stream's own novelty, not the corpus. The static side must be
+        # a batch DataFrame with one ``digest`` column (e.g.
+        # select(md5(text)) over the corpus, or its stored manifest).
+        keyed = keyed.join(
+            F.broadcast(ref_digests.select(F.col("digest"))),
+            keyed["_digest"] == F.col("digest"),
+            "left_anti",
+        )
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:  # TTL: forget the digest (SETEX expiry analog)

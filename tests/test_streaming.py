@@ -449,3 +449,52 @@ def test_prep_stream_dsir_gate_matches_batch_sample(spark, tmp_path_factory):
     assert {int(d): int(r) for d, r in zip(got["doc_id"], got["ratio_fp"])} \
         == want
     assert 0 < len(got) < 40  # the gate actually bites both ways
+
+
+def test_dedup_stream_against_standing_corpus(spark, tmp_path_factory):
+    """ref_digests: texts the standing corpus already holds never emit
+    (not even on first arrival) and never cost a state row; novel texts
+    still dedup first-wins within the stream."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.streaming.dedup_stream import dedup_stream
+
+    ref = spark.createDataFrame(
+        [(1, "known alpha"), (2, "known beta")], "doc_id long, text string"
+    )
+    ref_digests = ref.select(F.md5("text").alias("digest"))
+    in_dir = tmp_path_factory.mktemp("rd_in")
+    stream_in = str(tmp_path_factory.mktemp("rd_stream"))
+    out_dir = str(tmp_path_factory.mktemp("rd_out"))
+    b1 = [(10, "known alpha"), (11, "novel gamma")]
+    b2 = [(12, "novel gamma"), (13, "known beta"), (14, "novel delta")]
+    for i, rows in enumerate((b1, b2), 1):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / f"b{i}"))
+        shutil.copy(
+            glob.glob(f"{in_dir}/b{i}/*.parquet")[0],
+            f"{stream_in}/f{i}.parquet",
+        )
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = (
+        dedup_stream(src, ref_digests=ref_digests)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = pd.read_parquet(out_dir)
+    # known texts (10, 13) dropped by the static anti join; gamma emits
+    # once (first arrival, id 11), delta emits
+    assert sorted(out["doc_id"]) == [11, 14]
