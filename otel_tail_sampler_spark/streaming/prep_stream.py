@@ -79,6 +79,7 @@ def tokenize_dedup_stream(
     id_col: str = "doc_id",
     select_fn=None,
     extra_payload_cols: tuple = (),
+    ref_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenized, cross-batch-deduplicated document stream:
     -> (digest, doc_id, source, tokens array<int>, n_tok int,
@@ -116,6 +117,7 @@ def tokenize_dedup_stream(
         ttl_minutes=ttl_minutes,
         digest_col="_digest",
         payload_cols=("source", "tokens", "n_tok", *extra_payload_cols),
+        ref_digests=ref_digests,
     )
 
 
@@ -133,6 +135,7 @@ def run_prep_stream(
     dsir_model=None,
     dsir_rate: float = 1.0,
     dsir_n_buckets: int = 1 << 16,
+    ref_digests: DataFrame | None = None,
 ):
     """Wire the streaming prep leg end-to-end over a documents directory
     and return the started StreamingQuery. Output lands under
@@ -156,6 +159,12 @@ def run_prep_stream(
     composition time and each micro-batch is importance-resampled at
     ``dsir_rate`` (exact md5 acceptance, dedup state never sees
     rejected docs). The kept rows carry their ``ratio_fp``.
+
+    ``ref_digests`` (optional): a STATIC one-``digest``-column batch
+    DataFrame over the STANDING corpus — incremental ingestion: texts
+    the corpus already holds are anti-joined away before the dedup
+    state machine (see dedup_stream), so re-crawled known documents
+    neither land in the output nor grow state.
     """
     if schema is None:
         schema = spark.read.parquet(documents_dir).schema
@@ -183,6 +192,7 @@ def run_prep_stream(
         ttl_minutes=ttl_minutes,
         select_fn=select_fn,
         extra_payload_cols=("ratio_fp",) if dsir_model is not None else (),
+        ref_digests=ref_digests,
     )
     writer = (
         deduped.writeStream.outputMode("append")

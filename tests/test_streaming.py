@@ -498,3 +498,34 @@ def test_dedup_stream_against_standing_corpus(spark, tmp_path_factory):
     # known texts (10, 13) dropped by the static anti join; gamma emits
     # once (first arrival, id 11), delta emits
     assert sorted(out["doc_id"]) == [11, 14]
+
+
+def test_prep_stream_against_standing_corpus(spark, tmp_path_factory):
+    """run_prep_stream(ref_digests=...): re-crawled documents the
+    standing corpus already holds never reach the output; the rest of
+    the leg (gates, tokenize, within-stream dedup) is unchanged."""
+    from pyspark.sql import functions as F
+
+    from otel_tail_sampler_spark.streaming.prep_stream import (
+        run_prep_stream,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("ps_docs"))
+    out_dir = str(tmp_path_factory.mktemp("ps_out"))
+    rows = [
+        (1, "the quick brown fox jumps over dogs", "s1"),
+        (2, "an entirely different document body here", "s1"),
+        (3, "the quick brown fox jumps over dogs", "s2"),  # in-stream dup
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(docs_dir)
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over dogs",)], "text string"
+    ).select(F.md5("text").alias("digest"))
+    q = run_prep_stream(
+        spark, docs_dir, out_dir, vocab_size=256, ref_digests=ref
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{out_dir}/tokenized")
+    assert [r["doc_id"] for r in out.collect()] == [2]
