@@ -1557,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_phash": q_video_frame_phash,
         "corpus_dedup_exact": q_corpus_dedup_exact,
         "corpus_dedup_minhash": q_corpus_dedup_minhash,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -2235,6 +2236,20 @@ def q_dsir_sample(spark, sf_dir):
         tok, F.col("source") == "svc-00", n_buckets=1 << 16
     )
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus slices (the crawl-N
+    vs crawl-N+1 monitoring question; r6): exact fixed-point occurrence
+    rates and their delta per token, top 500 by |drift|."""
+    from otel_tail_sampler_spark.operators.corpus import vocab_drift
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    return vocab_drift(
+        tok.where(F.col("source") < "svc-04"),
+        tok.where(F.col("source") >= "svc-04"),
+        top=500,
+    )
 
 
 def q_corpus_dedup_exact(spark, sf_dir):
@@ -3724,6 +3739,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS id_new, rd.id_ref, rd.n_ref_copies
             FROM (SELECT doc_id, md5(text) AS dg FROM newd) n
             JOIN rd USING (dg)
+        """,
+        "vocab_drift": f"""
+            WITH tok AS (
+              SELECT tokens, source
+              FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+            ha AS (
+              SELECT t, count(*)::BIGINT AS f
+              FROM (SELECT unnest(tokens) AS t FROM tok
+                    WHERE source < 'svc-04') GROUP BY 1),
+            hb AS (
+              SELECT t, count(*)::BIGINT AS f
+              FROM (SELECT unnest(tokens) AS t FROM tok
+                    WHERE source >= 'svc-04') GROUP BY 1),
+            ta AS (SELECT sum(f) AS v FROM ha),
+            tb AS (SELECT sum(f) AS v FROM hb),
+            j AS (
+              SELECT coalesce(ha.t, hb.t) AS token,
+                     coalesce(ha.f, 0)::BIGINT AS freq_a,
+                     coalesce(hb.f, 0)::BIGINT AS freq_b
+              FROM ha FULL OUTER JOIN hb ON ha.t = hb.t
+            )
+            SELECT token, freq_a, freq_b,
+                   (freq_a::HUGEINT * 1048576 // ta.v)::BIGINT AS rate_a_fp,
+                   (freq_b::HUGEINT * 1048576 // tb.v)::BIGINT AS rate_b_fp,
+                   ((freq_a::HUGEINT * 1048576 // ta.v)
+                    - (freq_b::HUGEINT * 1048576 // tb.v))::BIGINT
+                     AS drift_fp
+            FROM j, ta, tb
+            ORDER BY abs((freq_a::HUGEINT * 1048576 // ta.v)
+                         - (freq_b::HUGEINT * 1048576 // tb.v)) DESC,
+                     token ASC
+            LIMIT 500
         """,
         "corpus_dedup_minhash": f"""
             WITH {lsh_ctes},

@@ -1130,3 +1130,62 @@ def vocab_coverage(
         .where(F.col("total").isNotNull())
         .orderBy("cutoff")
     )
+
+
+def vocab_drift(
+    a: DataFrame,
+    b: DataFrame,
+    top: int = 1000,
+    scale_bits: int = 20,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Token-distribution drift between two corpus versions (crawl N vs
+    crawl N+1 — the monitoring question behind every mixture re-tune):
+    -> (token, freq_a, freq_b, rate_a_fp, rate_b_fp, drift_fp), the
+    ``top`` tokens by |drift|, where ``rate_*_fp`` is the token's
+    occurrence rate in fixed point (``freq * 2^scale_bits div total``)
+    and ``drift_fp = rate_a_fp - rate_b_fp``. Exact integers end to end
+    (the repo's no-transcendentals contract: a KL term needs a log; the
+    per-token rate deltas are the quantities a drift alert actually
+    thresholds on, and they are engine-exact). Tokens absent from one
+    side count 0 there — a vocabulary APPEARANCE is drift too.
+
+    Scale shape: both inputs reduce through vocab_histogram's two-phase
+    map-combinable count (shuffle carries distinct types, not corpora);
+    the full-outer join and everything after run on the vocabulary-
+    bounded tables; the cut is a TakeOrdered by
+    (|drift| DESC, token ASC). Totals ride DECIMAL(38,0), exact past
+    int64 at trillion-token corpora."""
+    s = 1 << scale_bits
+    ha = vocab_histogram(a, tok_col=tok_col)
+    hb = vocab_histogram(b, tok_col=tok_col)
+    ta = ha.agg(F.sum("freq")).first()[0] or 0
+    tb = hb.agg(F.sum("freq")).first()[0] or 0
+    if ta == 0 or tb == 0:
+        raise ValueError("vocab_drift: a corpus side has no tokens")
+    j = (
+        ha.withColumnRenamed("freq", "freq_a")
+        .join(hb.withColumnRenamed("freq", "freq_b"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("freq_a", F.lit(0)).cast("long").alias("freq_a"),
+            F.coalesce("freq_b", F.lit(0)).cast("long").alias("freq_b"),
+        )
+    )
+    rate_a = F.expr(
+        f"CAST(freq_a AS DECIMAL(38,0)) * {s} div {ta}"
+    ).cast("long")
+    rate_b = F.expr(
+        f"CAST(freq_b AS DECIMAL(38,0)) * {s} div {tb}"
+    ).cast("long")
+    out = j.select(
+        "token",
+        "freq_a",
+        "freq_b",
+        rate_a.alias("rate_a_fp"),
+        rate_b.alias("rate_b_fp"),
+        (rate_a - rate_b).alias("drift_fp"),
+    )
+    return out.orderBy(
+        F.abs(F.col("drift_fp")).desc(), F.asc("token")
+    ).limit(int(top))

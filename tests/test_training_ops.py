@@ -1788,3 +1788,42 @@ def test_reference_dup_pairs_minhash_cross_only(spark, docs):
         min_agree=8,
     )
     assert planted.isdisjoint({r["doc_id"] for r in kept.collect()})
+
+
+def test_vocab_drift_scalar_reference(spark):
+    from collections import Counter
+
+    from otel_tail_sampler_spark.operators.corpus import vocab_drift
+
+    a_rows = [("a1", [1, 1, 2, 3]), ("a2", [1, 4])]
+    b_rows = [("b1", [2, 2, 2, 5]), ("b2", [2])]
+    a = spark.createDataFrame(a_rows, "doc_id string, tokens array<int>")
+    b = spark.createDataFrame(b_rows, "doc_id string, tokens array<int>")
+    got = {
+        r["token"]: (
+            r["freq_a"], r["freq_b"], r["rate_a_fp"], r["rate_b_fp"],
+            r["drift_fp"],
+        )
+        for r in vocab_drift(a, b, top=100).collect()
+    }
+    ca = Counter(t for _, ts in a_rows for t in ts)
+    cb = Counter(t for _, ts in b_rows for t in ts)
+    ta, tb, s = sum(ca.values()), sum(cb.values()), 1 << 20
+    for t in set(ca) | set(cb):
+        ra = ca.get(t, 0) * s // ta
+        rb = cb.get(t, 0) * s // tb
+        assert got[t] == (ca.get(t, 0), cb.get(t, 0), ra, rb, ra - rb), t
+    # ordering: token 2 has the largest |drift| (4/5 of b vs 1/6 of a)
+    first = vocab_drift(a, b, top=1).collect()[0]
+    assert first["token"] == 2
+
+
+def test_vocab_drift_empty_side_raises(spark):
+    import pytest as _pytest
+
+    from otel_tail_sampler_spark.operators.corpus import vocab_drift
+
+    a = spark.createDataFrame([("x", [1])], "doc_id string, tokens array<int>")
+    e = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    with _pytest.raises(ValueError, match="no tokens"):
+        vocab_drift(a, e)
