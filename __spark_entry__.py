@@ -1558,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_exact": q_corpus_dedup_exact,
         "corpus_dedup_minhash": q_corpus_dedup_minhash,
         "vocab_drift": q_vocab_drift,
+        "media_neardup_components": q_media_neardup_components,
     }
 
 
@@ -2236,6 +2237,23 @@ def q_dsir_sample(spark, sf_dir):
         tok, F.col("source") == "svc-00", n_buckets=1 << 16
     )
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
+
+
+def q_media_neardup_components(spark, sf_dir):
+    """Id-level perceptual near-dup components (r6): identical-hash
+    groups glue to their min-id representative, cross-hash edges ride
+    phash_pairs' banded index, components via min-label propagation.
+    Oracle = recursive transitive closure in DuckDB over the pre-encode
+    truth hashes (the dedup_components oracle pattern)."""
+    from otel_tail_sampler_spark.operators.multimodal import (
+        ensure_media_phash_truth,
+        media_phash_neardup,
+        synthetic_media_neardup,
+    )
+
+    ensure_media_phash_truth(n_base=48, seed=7)
+    media = synthetic_media_neardup(spark, n_base=48, seed=7)
+    return media_phash_neardup(media, tau=3, n_bands=4)
 
 
 def q_vocab_drift(spark, sf_dir):
@@ -3739,6 +3757,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS id_new, rd.id_ref, rd.n_ref_copies
             FROM (SELECT doc_id, md5(text) AS dg FROM newd) n
             JOIN rd USING (dg)
+        """,
+        "media_neardup_components": f"""
+            WITH RECURSIVE h AS (
+              SELECT media_id, phash_d FROM '{phash_truth}'
+            ),
+            rep AS (
+              SELECT phash_d, min(media_id) AS rep FROM h GROUP BY 1
+            ),
+            win AS (
+              SELECT h.media_id AS a, rep.rep AS b
+              FROM h JOIN rep USING (phash_d)
+            ),
+            bands AS (
+              SELECT phash_d, b, (phash_d >> (b * 16)) & 65535 AS key
+              FROM (SELECT DISTINCT phash_d FROM h),
+                   (SELECT unnest([0, 1, 2, 3]) AS b)
+            ),
+            hp AS (
+              SELECT DISTINCT x.phash_d AS pa, y.phash_d AS pb
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.key = y.key AND x.phash_d < y.phash_d
+              WHERE bit_count(xor(x.phash_d, y.phash_d)) <= 3
+            ),
+            cross_e AS (
+              SELECT ra.rep AS a, rb.rep AS b
+              FROM hp JOIN rep ra ON ra.phash_d = hp.pa
+                      JOIN rep rb ON rb.phash_d = hp.pb
+            ),
+            edges AS (
+              SELECT a, b FROM win UNION SELECT b, a FROM win
+              UNION SELECT a, b FROM cross_e
+              UNION SELECT b, a FROM cross_e
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT a AS media_id, least(min(b), a) AS component_id
+              FROM reach GROUP BY a
+            )
+            SELECT h.media_id,
+                   coalesce(c.component_id, h.media_id) AS component_id
+            FROM h LEFT JOIN comp c USING (media_id)
         """,
         "vocab_drift": f"""
             WITH tok AS (
