@@ -1559,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_minhash": q_corpus_dedup_minhash,
         "vocab_drift": q_vocab_drift,
         "media_neardup_components": q_media_neardup_components,
+        "bm25_threshold_matches": q_bm25_threshold_matches,
     }
 
 
@@ -2237,6 +2238,20 @@ def q_dsir_sample(spark, sf_dir):
         tok, F.col("source") == "svc-00", n_buckets=1 << 16
     )
     return dsir_sample(tok, model, rate=0.5, n_buckets=1 << 16)
+
+
+def q_bm25_threshold_matches(spark, sf_dir):
+    """Retrieval-based decontamination report (r6): every (benchmark
+    query, corpus doc) pair at fixed-point BM25 score >= 40M — the
+    score-bar flavor a contaminated doc outside any top-k still trips;
+    decontaminate_by_retrieval anti-joins the flagged ids."""
+    from otel_tail_sampler_spark.operators.retrieval import bm25_matches
+
+    tok = spark.read.parquet(_dataset(sf_dir)["tokenized"])
+    qs = tok.filter(F.col("doc_id") < "span-000000000003").select(
+        F.col("doc_id").alias("query_id"), "tokens"
+    )
+    return bm25_matches(tok, qs, min_score_fp=40_000_000)
 
 
 def q_media_neardup_components(spark, sf_dir):
@@ -4305,6 +4320,42 @@ def oracle_sql() -> dict[str, str]:
     # the driver row then attests the SCALE shape (written inverted
     # index + map-only search), not just the convenience shape.
     o["bm25_search_index"] = o["bm25_topk"]
+
+    # Threshold retrieval (decontamination shape): the same exact CTE
+    # chain cut by a score BAR instead of a rank — a contaminated doc
+    # outside any top-k must still be flagged.
+    o["bm25_threshold_matches"] = f"""
+        WITH tok AS (
+          SELECT doc_id, tokens
+          FROM parquet_scan('{paths["tokenized"]}/*.parquet')),
+        st AS (SELECT count(*)::BIGINT AS n, sum(len(tokens))::BIGINT AS t
+               FROM tok),
+        qd AS (SELECT DISTINCT doc_id AS query_id, unnest(tokens) AS term
+               FROM tok WHERE doc_id < 'span-000000000003'),
+        qt AS (SELECT DISTINCT term FROM qd),
+        post AS (SELECT doc_id, len(tokens)::BIGINT AS dl,
+                        unnest(tokens) AS term
+                 FROM tok),
+        m AS (SELECT p.* FROM post p JOIN qt USING (term)),
+        tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+               FROM m GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+                       (1048576::HUGEINT
+                          * (2*(SELECT n FROM st) - 2*df + 1))
+                         // (2*df + 1) AS idf_fp
+                FROM dfq),
+        w AS (SELECT qd.query_id, tf.doc_id,
+                     (idf.idf_fp * (44*(SELECT t FROM st))::HUGEINT * tf.tf)
+                       // ((20*(SELECT t FROM st))::HUGEINT * tf.tf
+                           + 6*(SELECT t FROM st)
+                           + (18*(SELECT n FROM st))::HUGEINT * tf.dl) AS w
+              FROM tf JOIN idf USING (term) JOIN qd USING (term)),
+        sc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score_fp
+               FROM w GROUP BY 1, 2)
+        SELECT query_id, doc_id, score_fp
+        FROM sc WHERE score_fp >= 40000000
+    """
 
     # Trigram counts: independent formulation (list-comprehension slices
     # vs Spark's zip_with over shifted slices) — no shared gram formula.

@@ -97,15 +97,14 @@ def _with_idf(dfreq: DataFrame, n_docs: int, s: int) -> DataFrame:
     ).select("term", "idf_fp")
 
 
-def _rank(
+def _scored(
     matched_tf: DataFrame,
     dfreq_idf: DataFrame,
     qterms: DataFrame,
     n_docs: int,
     n_tokens: int,
-    k: int,
 ) -> DataFrame:
-    scored = (
+    return (
         matched_tf.join(F.broadcast(dfreq_idf), "term")
         .join(F.broadcast(qterms), "term")
         .withColumn(
@@ -119,6 +118,17 @@ def _rank(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_w").cast("bigint").alias("score_fp"))
     )
+
+
+def _rank(
+    matched_tf: DataFrame,
+    dfreq_idf: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    n_tokens: int,
+    k: int,
+) -> DataFrame:
+    scored = _scored(matched_tf, dfreq_idf, qterms, n_docs, n_tokens)
     # Hot-query safety: a query whose terms match millions of corpus docs
     # does NOT funnel its whole candidate set through one window task —
     # the row_number + rank<=k filter triggers Catalyst's
@@ -182,8 +192,13 @@ def _bm25_topk_arrow(
     s: int,
     id_col: str,
     tokens_col: str,
+    min_score: int | None = None,
 ) -> DataFrame:
-    """Two-phase exact-lookup BM25 (see ``bm25_topk`` docstring)."""
+    """Two-phase exact-lookup BM25 (see ``bm25_topk`` docstring).
+    ``min_score`` switches from top-k to THRESHOLD mode: every
+    (query, doc) pair at score_fp >= min_score emits (no rank column,
+    no window at all — the per-batch cut becomes the final filter,
+    which is exact because scores complete within one batch)."""
     import numpy as np
     import pandas as pd
 
@@ -295,7 +310,10 @@ def _bm25_topk_arrow(
                 sc = np.add.reduceat(np.where(sel, w, 0), starts)
                 has = hits > 0
                 sc, dcs = sc[has], docs[has]
-                if sc.size > k > 0:  # k <= 0: emit-all, window empties
+                if min_score is not None:
+                    keep = sc >= min_score
+                    sc, dcs = sc[keep], dcs[keep]
+                elif sc.size > k > 0:  # k <= 0: emit-all, window empties
                     # candidate cut by SCORE only (ties all kept), so
                     # the final exact window never misses a tied doc
                     kth = np.partition(sc, sc.size - k)[sc.size - k]
@@ -313,6 +331,8 @@ def _bm25_topk_arrow(
     cand = corpus.select(F.col(id_col), F.col(tokens_col)).mapInPandas(
         pass_b, out_schema
     )
+    if min_score is not None:
+        return cand
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_fp"), F.asc("doc_id")
     )
@@ -399,6 +419,86 @@ def bm25_topk(
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")), n_docs, s
     )
     return _rank(tf, dfreq, qterms, n_docs, n_tokens, k)
+
+
+def bm25_matches(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_score_fp: int,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    query_id: str = "query_id",
+    query_tokens: str = "tokens",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """THRESHOLD retrieval: every (query, doc) pair whose fixed-point
+    BM25 score reaches ``min_score_fp`` -> (query_id, doc_id,
+    score_fp). The decontamination shape — a contaminated document
+    outside some top-k must still be flagged, so the cut is a score
+    bar, not a rank. Same kernels and exact arithmetic as
+    ``bm25_topk``; in threshold mode the arrow path needs NO window at
+    all (per-doc scores complete inside one batch, so the per-batch
+    filter IS the final answer)."""
+    n_docs, n_tokens = _corpus_stats(corpus, tokens_col)
+    s = 1 << scale_bits
+    qterms = _query_terms(queries, query_id, query_tokens)
+    if kernel == "arrow":
+        return _bm25_topk_arrow(
+            corpus,
+            qterms,
+            n_docs,
+            n_tokens,
+            0,
+            s,
+            id_col,
+            tokens_col,
+            min_score=int(min_score_fp),
+        )
+    if kernel != "jvm":
+        raise ValueError(
+            f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
+        )
+    # same shape as the bm25_topk jvm witness: broadcast semi filter on
+    # the exploded stream BEFORE any aggregation
+    post = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.col(tokens_col)).alias("dl"),
+        F.explode(F.col(tokens_col)).alias("term"),
+    )
+    matched = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    tf = matched.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = _with_idf(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")), n_docs, s
+    )
+    return _scored(tf, dfreq, qterms, n_docs, n_tokens).filter(
+        F.col("score_fp") >= int(min_score_fp)
+    )
+
+
+def decontaminate_by_retrieval(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    min_score_fp: int,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """The APPLY side of :func:`bm25_matches` — the retrieval flavor of
+    benchmark decontamination (complements the n-gram-containment
+    ``contamination``/``decontaminate_corpus`` pair, as real pipelines
+    run both): the surviving rows of ``corpus`` (all original columns)
+    after dropping every document some benchmark query retrieves at
+    ``min_score_fp`` or above. The anti-join runs against the DISTINCT
+    flagged ids — bounded by contamination incidence."""
+    matches = bm25_matches(
+        corpus, benchmarks, min_score_fp, id_col=id_col, **kw
+    )
+    flagged = matches.select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "anti")
 
 
 def bm25_index(

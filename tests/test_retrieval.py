@@ -197,3 +197,51 @@ def test_bm25_arrow_kernel_no_query_terms(spark, corpus):
 def test_bm25_k_zero_is_empty_both_kernels(spark, corpus, queries):
     for kern in ("arrow", "jvm"):
         assert bm25_topk(corpus, queries, k=0, kernel=kern).count() == 0
+
+
+def test_bm25_matches_threshold_equals_scored_reference(spark, corpus, queries):
+    from otel_tail_sampler_spark.operators.retrieval import (
+        bm25_matches,
+        decontaminate_by_retrieval,
+    )
+
+    # reference scores via the scalar formula (all pairs, no rank cut)
+    n = len(DOCS)
+    t = sum(len(toks) for _, toks in DOCS)
+    s = 1 << 20
+    dfreq = Counter()
+    for _, toks in DOCS:
+        for term in set(toks):
+            dfreq[term] += 1
+    ref_pairs = {}
+    for qid, qtoks in QUERIES:
+        for did, toks in DOCS:
+            c = Counter(toks)
+            dl = len(toks)
+            sc, hit = 0, False
+            for term in set(qtoks):
+                if term in c:
+                    hit = True
+                    df, tf = dfreq[term], c[term]
+                    idf = (s * (2 * n - 2 * df + 1)) // (2 * df + 1)
+                    sc += (idf * 44 * t * tf) // (
+                        20 * t * tf + 6 * t + 18 * dl * n
+                    )
+            if hit:
+                ref_pairs[(qid, did)] = sc
+    bar = sorted(ref_pairs.values())[len(ref_pairs) // 2]  # a real cut
+    want = {kv for kv in ref_pairs.items() if kv[1] >= bar}
+    for kern in ("arrow", "jvm"):
+        got = {
+            ((r["query_id"], r["doc_id"]), r["score_fp"])
+            for r in bm25_matches(
+                corpus, queries, min_score_fp=bar, kernel=kern
+            ).collect()
+        }
+        assert got == want, kern
+    # apply side: every flagged doc gone, everything else intact
+    flagged = {d for (_, d), _ in want}
+    kept = decontaminate_by_retrieval(corpus, queries, min_score_fp=bar)
+    assert {r["doc_id"] for r in kept.collect()} == (
+        {d for d, _ in DOCS} - flagged
+    )
