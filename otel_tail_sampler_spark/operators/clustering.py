@@ -93,8 +93,19 @@ def _batch_matrix(pdf, qvec_col: str, dim: int):
     return np.stack(arrs) if arrs else np.zeros((0, dim), np.int64)
 
 
-def _assign_frame(df_q: DataFrame, centroids, id_col: str, qvec_col: str) -> DataFrame:
-    """-> (id, cluster int, dist2 bigint) via the broadcast-argmin kernel."""
+def _assign_frame(
+    df_q: DataFrame,
+    centroids,
+    id_col: str,
+    qvec_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """-> (id, cluster int, dist2 bigint) via the broadcast-argmin kernel.
+    ``keep_vec=True`` additionally echoes the vector and its squared norm
+    (``_q``, ``_n2`` — the norm falls out of the distance computation for
+    free), so callers that need both the assignment AND the vector
+    (semantic_dedup's pair stage) avoid a corpus-wide self-join back onto
+    the input."""
     import numpy as np
     import pandas as pd
 
@@ -107,20 +118,25 @@ def _assign_frame(df_q: DataFrame, centroids, id_col: str, qvec_col: str) -> Dat
             if not len(pdf):  # empty yields break Arrow array typing
                 continue
             V = _batch_matrix(pdf, qvec_col, dim)
-            d2 = (V * V).sum(axis=1, keepdims=True) - 2 * (V @ C.T) + cnorm
+            vnorm = (V * V).sum(axis=1)
+            d2 = vnorm[:, None] - 2 * (V @ C.T) + cnorm
             cl = np.argmin(d2, axis=1)  # first min == lowest cluster
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster": cl.astype(np.int32),
-                    "dist2": d2[np.arange(len(cl)), cl],
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "cluster": cl.astype(np.int32),
+                "dist2": d2[np.arange(len(cl)), cl],
+            }
+            if keep_vec:
+                out["_q"] = pdf[qvec_col]
+                out["_n2"] = vnorm
+            yield pd.DataFrame(out)
 
     id_type = df_q.schema[id_col].dataType.simpleString()
-    return df_q.select(F.col(id_col), F.col(qvec_col)).mapInPandas(
-        fn, f"{id_col} {id_type}, cluster int, dist2 bigint"
-    )
+    qv_type = df_q.schema[qvec_col].dataType.simpleString()
+    ddl = f"{id_col} {id_type}, cluster int, dist2 bigint"
+    if keep_vec:
+        ddl += f", _q {qv_type}, _n2 bigint"
+    return df_q.select(F.col(id_col), F.col(qvec_col)).mapInPandas(fn, ddl)
 
 
 def _partial_sums(df_q: DataFrame, centroids, qvec_col: str) -> DataFrame:
@@ -169,6 +185,7 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     qvec_col: str = "qvec",
+    driver_fit_threshold: int = 1 << 16,
 ) -> list[list[int]]:
     """Fit k-means centroids over int8-quantized vectors.
 
@@ -190,8 +207,47 @@ def kmeans_fit(
     pre-aggregates its members into at most k*dim rows (scatter-add in
     the kernel), the groupBy map-combines those, and the driver collects
     k*dim ints — independent of corpus size.
+
+    Small inputs fit on the DRIVER in one pass: a ``limit``-probed
+    collect fetches up to ``driver_fit_threshold`` (id, qvec) rows in a
+    single job; when the whole input fits, Lloyd's loop runs as the
+    SAME exact-int64 numpy kernel locally (same argmin-ties-to-lowest,
+    same truncated division — bit-identical centroids, pinned by a
+    planted equality test) and the per-iteration Spark jobs never
+    launch. Above the threshold nothing is assumed: the probe saw an
+    overflow row, the partial collect is discarded, and the distributed
+    partial-sum path runs unchanged. The threshold bounds driver memory
+    (default 2^16 vectors ~ tens of MB at ANN dims), not correctness.
     """
+    import numpy as np
+
     from otel_tail_sampler_spark.functions.spread import spread_small_input
+
+    probe = (
+        df_q.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
+        .limit(int(driver_fit_threshold) + 1)
+        .collect()
+    )
+    if not probe:
+        raise ValueError("kmeans_fit: empty input")
+    if len(probe) <= driver_fit_threshold:
+        # the probe IS the full input: exact local Lloyd's
+        probe.sort(key=lambda r: r["_id"])
+        V = np.asarray([[int(x) for x in r["_q"]] for r in probe], np.int64)
+        centroids = V[:k].copy()
+        vnorm = (V * V).sum(axis=1)
+        for _ in range(iters):
+            C = centroids
+            d2 = vnorm[:, None] - 2 * (V @ C.T) + (C * C).sum(axis=1)
+            cl = np.argmin(d2, axis=1)  # first min == lowest cluster
+            nxt = C.copy()
+            for j in range(len(C)):
+                members = V[cl == j]
+                if len(members):
+                    s = members.sum(axis=0)
+                    nxt[j] = [_tdiv(int(x), len(members)) for x in s]
+            centroids = nxt
+        return [[int(x) for x in c] for c in centroids]
 
     # the per-row argmin matmul is CPU-dense: widen a single-split input
     # so iterations run cores-wide (no-op at scale)
@@ -202,8 +258,6 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
-    if not init_rows:
-        raise ValueError("kmeans_fit: empty input")
     centroids = [[int(x) for x in r["_q"]] for r in init_rows]
 
     for _ in range(iters):
@@ -298,13 +352,15 @@ def semantic_dedup(
     df_q = spread_small_input(df_q)
     if centroids is None:
         centroids = kmeans_fit(df_q, k, iters, id_col, qvec_col)
-    a = kmeans_assign(df_q, centroids, id_col, qvec_col).select(id_col, "cluster")
-    v = df_q.select(
-        F.col(id_col),
-        F.col(qvec_col).alias("_q"),
-        _int_dot(F.col(qvec_col), F.col(qvec_col)).alias("_n2"),
-    )
-    m = a.join(v, id_col)
+    # ONE kernel pass emits assignment AND vector/norm (keep_vec) — the
+    # previous assign-then-self-join shape shuffled the corpus twice and
+    # re-ran the argmin kernel once per plan reference. The tiny
+    # (id, cluster, _q, _n2) frame is persisted because the pair stage
+    # references it three times (anchors, right side, survivor base).
+    m = _assign_frame(
+        df_q, centroids, id_col, qvec_col, keep_vec=True
+    ).drop("dist2").persist()
+    a = m.select(id_col, "cluster")
     anchors = m
     if max_cluster_anchors is not None:
         from pyspark.sql import Window
@@ -328,6 +384,11 @@ def semantic_dedup(
         F.col("_n2").alias("_nb"),
     )
     num, den = int(tau[0]), int(tau[1])
+    # NOTE (r7): an unrolled fixed-dim sum of get() products was measured
+    # 6x SLOWER than this HOF dot at dim=64 (26 s vs 4.2 s full query at
+    # sf0.1) — the 128-term tree blows past codegen's expression budget
+    # and every term then re-evaluates interpreted. The zip_with/aggregate
+    # HOF stays.
     dot = _int_dot(F.col("_qa"), F.col("_qb"))
     dropped = (
         left.join(right, "cluster")

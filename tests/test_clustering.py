@@ -230,3 +230,28 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_driver_and_distributed_fit_agree(spark):
+    # the small-input driver-side Lloyd's (round-7 fast path) must be
+    # bit-identical to the distributed partial-sum path on the same input
+    vecs = [
+        [((i * 53 + d * 89 + 7) % 255) - 127 for d in range(5)]
+        for i in range(80)
+    ]
+    df = _qdf(spark, vecs)
+    driver_c = kmeans_fit(df, k=5, iters=3)  # 80 <= default threshold
+    dist_c = kmeans_fit(df, k=5, iters=3, driver_fit_threshold=0)
+    assert driver_c == dist_c == _ref_kmeans(vecs, k=5, iters=3)
+
+
+def test_kmeans_distributed_fit_edge_cases(spark):
+    # the distributed path must keep the planted edge semantics too
+    # (tie -> lowest cluster, empty cluster keeps its init centroid)
+    df = _qdf(spark, [[3, 3]] * 5)
+    assert kmeans_fit(df, k=2, iters=2, driver_fit_threshold=0) == [
+        [3, 3],
+        [3, 3],
+    ]
+    with pytest.raises(ValueError):
+        kmeans_fit(_qdf(spark, []), k=2, driver_fit_threshold=0)
