@@ -80,11 +80,20 @@ def _postings(corpus: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
     )
 
 
-def _query_terms(queries: DataFrame, query_id: str, query_tokens: str) -> DataFrame:
-    return queries.select(
+def _query_terms(
+    queries: DataFrame,
+    query_id: str,
+    query_tokens: str,
+    distinct: bool = True,
+) -> DataFrame:
+    """``distinct=False`` skips the dedup exchange for consumers that
+    collect and set-ify the terms anyway (the arrow kernel's qmask) —
+    one less shuffle stage on the query side."""
+    out = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(F.col(query_tokens)).alias("term"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def _with_idf(dfreq: DataFrame, n_docs: int, s: int) -> DataFrame:
@@ -152,29 +161,32 @@ def _rank(
 def _batch_matched_tf(pdf, qs, nq, tokens_col):
     """Shared per-batch match kernel: ONE searchsorted of the flat token
     stream against the sorted query-term array + one bincount of
-    (doc x matched-term-index) keys -> (dd doc indices, tt term indices,
-    tf counts, lens per-doc sizes), with the (dd-major, tt-minor) groups
-    contiguous (the nonzero scan of the bincount is ascending). Returns
-    None when nothing matches."""
+    (doc x matched-term-index) keys -> ((dd doc indices, tt term
+    indices, tf counts, lens per-doc sizes) or None when nothing
+    matches, n rows seen, total tokens seen) — the trailing counts feed
+    the fused corpus-stats accumulation (the match groups are
+    (dd-major, tt-minor) contiguous: the nonzero scan of the bincount
+    is ascending)."""
     import numpy as np
 
     n = len(pdf)
-    if not n or not nq:
-        return None
+    if not n:
+        return None, 0, 0
     arrs = [np.asarray(t, np.int64) for t in pdf[tokens_col]]
     lens = np.fromiter((a.size for a in arrs), np.int64, n)
+    total = int(lens.sum())
     nz = lens > 0
-    if not nz.any():
-        return None
+    if not nq or not nz.any():
+        return None, n, total
     flat = np.concatenate([a for a in arrs if a.size])
     di = np.repeat(np.arange(n)[nz], lens[nz])
     ix = np.searchsorted(qs, flat)
     hit = (ix < nq) & (qs[np.minimum(ix, nq - 1)] == flat)
     if not hit.any():
-        return None
+        return None, n, total
     counts = np.bincount(di[hit] * nq + ix[hit], minlength=n * nq)
     kz = np.nonzero(counts)[0]
-    return kz // nq, kz % nq, counts[kz], lens
+    return (kz // nq, kz % nq, counts[kz], lens), n, total
 
 
 # (term_idx, tf, dl) pack base for the exact-weight lookup key: tf and
@@ -186,8 +198,8 @@ _BM25_PACK = 1 << 21
 def _bm25_topk_arrow(
     corpus: DataFrame,
     qterms: DataFrame,
-    n_docs: int,
-    n_tokens: int,
+    n_docs: int | None,
+    n_tokens: int | None,
     k: int,
     s: int,
     id_col: str,
@@ -198,13 +210,20 @@ def _bm25_topk_arrow(
     ``min_score`` switches from top-k to THRESHOLD mode: every
     (query, doc) pair at score_fp >= min_score emits (no rank column,
     no window at all — the per-batch cut becomes the final filter,
-    which is exact because scores complete within one batch)."""
+    which is exact because scores complete within one batch).
+
+    ``n_docs=None`` FUSES the corpus stats into pass A (r7): the kernel
+    already walks every document's length, so per-partition (doc count,
+    token total) ride the same partial output as two SENTINEL tkeys
+    (-1, -2 — a real triple pack is always >= 0) and the separate
+    _corpus_stats corpus scan never runs."""
     import numpy as np
     import pandas as pd
 
     from typing import Iterator
 
     spark = corpus.sparkSession
+    fuse_stats = n_docs is None
     qt_rows = qterms.collect()  # broadcast regime: queries are small
     q_ids = sorted({r["query_id"] for r in qt_rows})
     terms = sorted({r["term"] for r in qt_rows})
@@ -215,6 +234,8 @@ def _bm25_topk_arrow(
     )
     empty = spark.createDataFrame([], out_schema + ", rank int")
     if not terms or not q_ids:
+        if fuse_stats and corpus.isEmpty():
+            raise ValueError("bm25: empty corpus")
         return empty
     qs = np.asarray(terms, np.int64)
     nq = len(qs)
@@ -229,8 +250,11 @@ def _bm25_topk_arrow(
     def pass_a(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         vqs = bqs.value
         acc: dict = {}
+        nd = tok_total = 0
         for pdf in batches:
-            m = _batch_matched_tf(pdf, vqs, nq, tokens_col)
+            m, nrows, tok = _batch_matched_tf(pdf, vqs, nq, tokens_col)
+            nd += nrows
+            tok_total += tok
             if m is None:
                 continue
             dd, tt, tf, lens = m
@@ -243,6 +267,9 @@ def _bm25_topk_arrow(
             uk, uc = np.unique(key, return_counts=True)
             for ky, c in zip(uk.tolist(), uc.tolist()):
                 acc[ky] = acc.get(ky, 0) + c
+        if fuse_stats and nd:
+            acc[-1] = nd
+            acc[-2] = tok_total
         if acc:
             ks = np.fromiter(acc.keys(), np.int64, len(acc))
             yield pd.DataFrame(
@@ -259,6 +286,12 @@ def _bm25_topk_arrow(
         .agg(F.sum("n").alias("n"))
         .collect()
     )
+    if fuse_stats:
+        n_docs = sum(int(r["n"]) for r in triples if r["tkey"] == -1)
+        n_tokens = sum(int(r["n"]) for r in triples if r["tkey"] == -2)
+        if n_docs == 0 or n_tokens == 0:
+            raise ValueError("bm25: empty corpus")
+        triples = [r for r in triples if r["tkey"] >= 0]
     if not triples:
         return empty
 
@@ -288,7 +321,7 @@ def _bm25_topk_arrow(
         vqs = bqs.value
         vk, vw, vm, vq = bw.value
         for pdf in batches:
-            m = _batch_matched_tf(pdf, vqs, nq, tokens_col)
+            m, _nr, _tk = _batch_matched_tf(pdf, vqs, nq, tokens_col)
             if m is None:
                 continue
             dd, tt, tf, lens = m
@@ -384,15 +417,15 @@ def bm25_topk(
     pass B unseen by pass A raises instead of mis-scoring. Use
     bm25_index/bm25_search for a standing index.
     """
-    n_docs, n_tokens = _corpus_stats(corpus, tokens_col)
     s = 1 << scale_bits
-    qterms = _query_terms(queries, query_id, query_tokens)
     if kernel == "arrow":
+        # stats fused into pass A; the dedup exchange is skipped because
+        # the kernel's collect set-ifies terms anyway
         return _bm25_topk_arrow(
             corpus,
-            qterms,
-            n_docs,
-            n_tokens,
+            _query_terms(queries, query_id, query_tokens, distinct=False),
+            None,
+            None,
             k,
             s,
             id_col,
@@ -402,6 +435,8 @@ def bm25_topk(
         raise ValueError(
             f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
         )
+    n_docs, n_tokens = _corpus_stats(corpus, tokens_col)
+    qterms = _query_terms(queries, query_id, query_tokens)
     terms_only = qterms.select("term").distinct()
 
     post = corpus.select(
@@ -440,15 +475,13 @@ def bm25_matches(
     ``bm25_topk``; in threshold mode the arrow path needs NO window at
     all (per-doc scores complete inside one batch, so the per-batch
     filter IS the final answer)."""
-    n_docs, n_tokens = _corpus_stats(corpus, tokens_col)
     s = 1 << scale_bits
-    qterms = _query_terms(queries, query_id, query_tokens)
     if kernel == "arrow":
         return _bm25_topk_arrow(
             corpus,
-            qterms,
-            n_docs,
-            n_tokens,
+            _query_terms(queries, query_id, query_tokens, distinct=False),
+            None,
+            None,
             0,
             s,
             id_col,
@@ -459,6 +492,8 @@ def bm25_matches(
         raise ValueError(
             f"unknown kernel: {kernel!r} (want 'jvm' or 'arrow')"
         )
+    n_docs, n_tokens = _corpus_stats(corpus, tokens_col)
+    qterms = _query_terms(queries, query_id, query_tokens)
     # same shape as the bm25_topk jvm witness: broadcast semi filter on
     # the exploded stream BEFORE any aggregation
     post = corpus.select(

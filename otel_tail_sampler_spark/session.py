@@ -47,6 +47,13 @@ def build_session(
         # Input split sizing: 128 MiB splits keep per-task memory bounded at
         # any table size (the lever that scales to 100 TB, not a row count).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Per-file open cost (guide §6): the 4 MiB default floors the split
+        # size at 4 MiB, which serializes scans of small-file tables (a
+        # 4 MB file can never split). 1 MiB keeps the tiny-file guard but
+        # lets totalBytes/minPartitionNum (defaulting to the session
+        # parallelism) actually spread a small table across the cores; at
+        # lake scale totalBytes dominates and this knob is inert.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # Broadcast threshold: rule/dim tables are tiny; 64 MiB is safe.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.enableVectorizedReader", "true")

@@ -48,6 +48,14 @@ class GenSpec:
     heavy_frac: float = 0.0  # load_simulation skew: frac of traces that are heavy
     heavy_spans: int = 2000
     seed: int = 42
+    # Parquet layout (guide §6): row-group granularity bounds scan-task
+    # assignment — Spark's byte-range splits hand a task only the row
+    # groups whose midpoint lands in its range, so 65536-row groups in
+    # 4 MB files capped the tokenized scan at 2 uneven tasks per file
+    # (one 65k-row straggler each). 8192-row groups let the split
+    # calculator's totalBytes/minPartitionNum sizing actually spread
+    # the scan. Part of the spec marker: changing it regenerates.
+    row_group_rows: int = 8192
 
     def tag(self) -> str:
         return (
@@ -270,7 +278,7 @@ def generate_dataset(spec: GenSpec, out_dir: str) -> dict[str, str]:
         pq.write_table(
             tokenized,
             os.path.join(tok_dir, f"part-{i:04d}.parquet"),
-            row_group_size=65536,
+            row_group_size=spec.row_group_rows,
         )
         oracle_tbl = fields_to_oracle_table(f, doc_id_all[sl], source_all[sl])
         if oracle_writer is None:
