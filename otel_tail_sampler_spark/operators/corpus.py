@@ -761,14 +761,21 @@ def ngram_counts(
     ).where(F.col("_n") >= n)  # short docs have no length-n window
     m = F.col("_n") - (n - 1)
     z = F.arrays_zip(*[F.slice(F.col("_t"), j + 1, m) for j in range(n)])
+    # aggregate on the INT STRUCT key (r7): building the comma-joined
+    # string per exploded window stringified the pre-aggregation stream
+    # (one string alloc per corpus window); grouping on the struct of n
+    # ints defers the string build to the aggregated rows — bounded by
+    # distinct-gram cardinality, ~10x fewer at sf0.1. The cap still
+    # tie-breaks on the STRING (binary order is the engine-exact
+    # contract), derived post-agg, so results are unchanged.
     gram = F.concat_ws(
         ",", *[F.col("_g")[str(j)].cast("string") for j in range(n)]
     )
     return (
         base.select(F.explode(z).alias("_g"))
-        .select(gram.alias("gram"))
-        .groupBy("gram")
+        .groupBy("_g")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .select(gram.alias("gram"), "freq")
         .orderBy(F.desc("freq"), F.asc("gram"))
         .limit(int(top))
     )

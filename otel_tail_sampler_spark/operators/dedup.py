@@ -882,6 +882,12 @@ def embedding_dup_pairs_lsh(
             for b in range(n_bands)
         ]
     )
+    # NOTE (r7): the sign-bit fold stays the sequential-fold EXPRESSION
+    # (a vectorized kernel's pairwise summation could flip a near-zero
+    # sign bit vs the oracle's replayed fold order), and the self-join
+    # needs no persist — its two identical exchange children hit
+    # ReusedExchange, so the projection runs once (persisting it was
+    # measured ~0.3 s slower: pure cache-write overhead).
     tagged = base.select("_id", F.explode(band_keys).alias("_bk"))
     cand = (
         tagged.alias("l")
