@@ -58,7 +58,11 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs every executor thread inside the driver JVM: size
+        # the heap to the concurrency (~0.5 GiB/core) or result collects +
+        # 32-way execution GC-thrash an 8 GiB heap. Env-overridable; on a
+        # real cluster executors get their own sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         # Dynamic partition overwrite -> idempotent per-partition sink commits
         # (the checkpoint/resume contract in plans.checkpoint).
