@@ -255,3 +255,23 @@ def test_kmeans_distributed_fit_edge_cases(spark):
     ]
     with pytest.raises(ValueError):
         kmeans_fit(_qdf(spark, []), k=2, driver_fit_threshold=0)
+
+
+def test_semantic_dedup_pair_kernels_equal(spark):
+    # the vectorized arrow pair scorer (r7 default) must keep the exact
+    # int64 drop set of the zero-Python jvm witness on planted near-dups
+    vecs = [[10, 0], [0, 10], [10, 1], [9, 0], [0, 0], [5, 5], [10, 2]]
+    df = _qdf(spark, vecs)
+    want = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(
+            df, k=2, iters=1, tau=(19, 20), pair_kernel="jvm"
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(
+            df, k=2, iters=1, tau=(19, 20), pair_kernel="arrow"
+        ).collect()
+    )
+    assert got == want
